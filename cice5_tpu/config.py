@@ -1,0 +1,218 @@
+"""Typed, hashable model configuration.
+
+This is the TPU-native equivalent of the reference's two-level config system:
+compile-time CPP macros (/root/reference/source/ice_domain_size.F90:23-67) and
+runtime Fortran namelists (/root/reference/source/ice_init.F90:135-199,
+ice_domain.F90:109-118). Here both collapse into one frozen dataclass tree
+passed as a jit-static argument, so shape-determining fields (nx, ny, ncat,
+nilyr, nslyr, tracer on/off flags) become trace-time constants and option
+strings select code paths at trace time (no runtime branching inside XLA).
+
+Every default mirrors the reference namelist defaults (ice_init.F90:204-320)
+or the gx3 template (/root/reference/input_templates/gx3/ice_in) where noted.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class GridConfig:
+    """Grid shape & type (ice_domain_size.F90:23-37, ice_grid.F90:309-324)."""
+    nx: int = 100                # global grid columns (gx3: 100)
+    ny: int = 116                # global grid rows (gx3: 116)
+    grid_type: str = "rectangular"   # rectangular | displaced_pole | tripole | latlon | column
+    ew_boundary: str = "cyclic"      # cyclic | open | closed
+    ns_boundary: str = "open"        # open | closed | cyclic | tripole | tripoleT
+    dx_const: float = 30000.0        # rectgrid cell size (m)  (ice_grid.F90:1145)
+    dy_const: float = 30000.0
+    lat0: float = 40.0               # rectgrid lower-left latitude (deg)
+    lon0: float = -156.5
+
+
+@dataclass(frozen=True)
+class ThermoConfig:
+    """Vertical thermodynamics options (ice_init.F90 thermo_nml)."""
+    ktherm: int = 1                  # 0=zero-layer, 1=BL99, 2=mushy
+    conduct: str = "bubbly"          # bubbly | MU71 (ice_therm_bl99.F90:940)
+    calc_Tsfc: bool = True
+    heat_capacity: bool = True
+    ustar_min: float = 0.0005        # min friction velocity under ice
+    fbot_xfer_type: str = "constant"
+    saltmax: float = 3.2             # max bulk salinity, BL99 profile
+    nsal: float = 0.407              # salinity profile shape params
+    msal: float = 0.573
+    dSdt_slow_mode: float = -5.0e-8  # mushy drainage
+    phi_c_slow_mode: float = 0.05
+    phi_i_mushy: float = 0.85        # solid fraction of frozen mush
+    ksno: float = 0.30
+    hfrazilmin: float = 0.05         # min thickness of new frazil ice (m)
+    # mushy solver controls (ice_therm_mushy.F90)
+    dTemp_errmax: float = 5.0e-4
+    nit_max_picard: int = 50
+    Tliquidus_max: float = 0.0
+
+
+@dataclass(frozen=True)
+class DynConfig:
+    """Dynamics / ridging options (ice_init.F90 dynamics_nml; ice_dyn_shared.F90:31-81)."""
+    kdyn: int = 1                    # 0=off, 1=EVP, 2=EAP
+    ndte: int = 120                  # EVP subcycles per dynamics step
+    revised_evp: bool = False
+    yield_curve: str = "ellipse"
+    e_ratio: float = 2.0             # yield-curve axis ratio
+    Pstar: float = 2.75e4            # Hibler strength P* (N/m^2)
+    Cstar: float = 20.0              # Hibler strength C*
+    kstrength: int = 1               # 0=Hibler79, 1=Rothrock75
+    krdg_partic: int = 1             # 0=linear, 1=exponential participation
+    krdg_redist: int = 1             # 0=Hibler, 1=exponential redistribution
+    mu_rdg: float = 4.0              # e-folding scale of ridged ice (kr_redist=1)
+    Cf: float = 17.0                 # ratio of ridging work to PE change
+    cosw: float = 1.0                # cos/sin of ocean turning angle
+    sinw: float = 0.0
+    arlx: float = 300.0              # revised-EVP stress relaxation
+    brlx: float = 300.0              # revised-EVP momentum relaxation
+    basalstress: bool = False
+    Ktens: float = 0.0               # tensile strength factor
+    # EAP
+    a11_0: float = 0.5
+    # transport
+    advection: str = "remap"         # remap | upwind | none
+    conserv_check: bool = False      # transport global conservation check
+    monotonicity_check: bool = False
+
+
+@dataclass(frozen=True)
+class ShortwaveConfig:
+    """Radiation options (ice_init.F90 shortwave_nml; ice_shortwave.F90)."""
+    shortwave: str = "ccsm3"         # ccsm3 | dEdd
+    albedo_type: str = "ccsm3"       # ccsm3 | constant
+    albicev: float = 0.78            # visible ice albedo, h > ahmax
+    albicei: float = 0.36            # near-IR ice albedo
+    albsnowv: float = 0.98           # visible cold-snow albedo
+    albsnowi: float = 0.70           # near-IR cold-snow albedo
+    ahmax: float = 0.3               # albedo-thickness transition (m)
+    # delta-Eddington tuning (ice_shortwave.F90 dEdd knobs)
+    R_ice: float = 0.0
+    R_pnd: float = 0.0
+    R_snw: float = 1.5
+    dT_mlt: float = 1.5
+    rsnw_mlt: float = 1500.0
+    kalg: float = 0.6
+    # constant albedos (albedo_type=constant)
+    albedo_const: float = 0.78
+
+
+@dataclass(frozen=True)
+class TracerConfig:
+    """Optional tracer switches (ice_init.F90 tracer_nml; ice_state.F90:126-135)."""
+    tr_iage: bool = False
+    tr_FY: bool = False
+    tr_lvl: bool = False
+    tr_pond_cesm: bool = False
+    tr_pond_lvl: bool = False
+    tr_pond_topo: bool = False
+    tr_aero: bool = False
+    tr_brine: bool = False
+    n_aero: int = 0
+    skl_bgc: bool = False
+    # pond params (ice_init.F90 ponds_nml)
+    hs0: float = 0.03
+    hs1: float = 0.03
+    hp1: float = 0.01
+    dpscale: float = 0.001
+    frzpnd: str = "cesm"             # cesm | hlid
+    rfracmin: float = 0.15
+    rfracmax: float = 1.0
+    pndaspect: float = 0.8
+
+    @property
+    def tr_pond(self) -> bool:
+        return self.tr_pond_cesm or self.tr_pond_lvl or self.tr_pond_topo
+
+
+@dataclass(frozen=True)
+class ForcingConfig:
+    """Atmo/ocean boundary & forcing options (ice_init.F90 forcing_nml)."""
+    atmbndy: str = "default"         # default (stability iteration) | constant
+    formdrag: bool = False
+    highfreq: bool = False
+    natmiter: int = 5                # stability iterations
+    oceanmixed_ice: bool = False     # prognostic slab-ocean SST
+    calc_strair: bool = True
+    atm_data_type: str = "default"
+    ocn_data_type: str = "default"
+    precip_units: str = "mks"
+    update_ocn_f: bool = False
+    l_mpond_fresh: bool = False
+    restore_sst: bool = False
+    trestore: int = 90
+
+
+@dataclass(frozen=True)
+class TimeConfig:
+    """Timestepping (ice_init.F90 setup_nml; ice_calendar.F90)."""
+    dt: float = 3600.0               # thermo timestep (s)
+    ndtd: int = 1                    # dynamics subcycles per thermo step
+    npt: int = 24                    # number of steps to run
+    year_init: int = 1997
+    istep0: int = 0
+    days_per_year: int = 365
+    use_leap_years: bool = False
+    sec_init: int = 0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Root configuration (the full "namelist")."""
+    grid: GridConfig = field(default_factory=GridConfig)
+    thermo: ThermoConfig = field(default_factory=ThermoConfig)
+    dyn: DynConfig = field(default_factory=DynConfig)
+    shortwave: ShortwaveConfig = field(default_factory=ShortwaveConfig)
+    tracers: TracerConfig = field(default_factory=TracerConfig)
+    forcing: ForcingConfig = field(default_factory=ForcingConfig)
+    time: TimeConfig = field(default_factory=TimeConfig)
+
+    ncat: int = 5                    # ice thickness categories (NICECAT)
+    nilyr: int = 7                   # ice layers (NICELYR)
+    nslyr: int = 1                   # snow layers (NSNWLYR)
+    kitd: int = 1                    # 0=delta-function, 1=linear remap ITD
+    kcatbound: int = 1               # category-bound scheme (ice_itd.F90:41-64)
+
+    dtype: str = "float32"           # state dtype ("float32" | "float64")
+    accum_dtype: str = "float32"     # reduction/accumulation dtype
+
+    @property
+    def xp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def np_accum_dtype(self):
+        return jnp.dtype(self.accum_dtype)
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def column_config(**overrides) -> ModelConfig:
+    """Single-column config (input_templates/col/ice_in analog): no dynamics."""
+    cfg = ModelConfig(
+        grid=GridConfig(nx=8, ny=8, grid_type="column",
+                        ew_boundary="cyclic", ns_boundary="open"),
+        dyn=DynConfig(kdyn=0, advection="none"),
+        thermo=ThermoConfig(ktherm=1),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def gx3_config(**overrides) -> ModelConfig:
+    """gx3-equivalent standalone config (100x116 3-degree displaced-pole analog,
+    run here on a rectangular grid until popgrid readers land)."""
+    cfg = ModelConfig(
+        grid=GridConfig(nx=100, ny=116, grid_type="rectangular",
+                        ew_boundary="cyclic", ns_boundary="open"),
+    )
+    return cfg.replace(**overrides) if overrides else cfg

@@ -1,0 +1,427 @@
+"""Bitz & Lipscomb (1999) vertical heat-conduction solver.
+
+TPU-native re-expression of /root/reference/source/ice_therm_bl99.F90
+(temperature_changes:51, conductivity:940, get_matrix_elements_calc_Tsfc:1172,
+tridiag_solver:1763). The reference iterates a Newton-like loop over a
+compressed list of unconverged cells with per-cell allocatable work arrays;
+here every cell in the dense (..., batch) slab is solved simultaneously with a
+``lax.while_loop`` whose body freezes already-converged cells by masking, and
+the 9x9 tridiagonal system is solved for all cells at once by a lane-batched
+Thomas scan (cice5_tpu.ops.tridiag).
+
+Array convention: layer axis FIRST, arbitrary batch shape after —
+zTin (nilyr, *B), zTsn (nslyr, *B), kh (nilyr+nslyr+1, *B), scalars (*B).
+
+All five reference convergence conditions (Tsf <= 0, no Tsf oscillation,
+|dTsf| < errmax, fsurf >= fcondtop at melting, energy-flux error < ferrmax)
+are enforced, including the oscillation-damping temperature averaging and the
+conductivity reduction on energy-conservation failure.
+
+Only the calc_Tsfc=True path is implemented (standalone + slab-ocean modes);
+the coupled know-Tsfc matrix (ice_therm_bl99.F90:1484) is future work.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cice5_tpu import constants as ct
+from cice5_tpu.models.thermo import shared
+from cice5_tpu.ops import tridiag_solve
+
+NITERMAX = 100          # reference uses 500; 100 suffices in practice
+TSF_ERRMAX = 5.0e-4
+
+
+class BL99Result(NamedTuple):
+    Tsf: jnp.ndarray
+    zqsn: jnp.ndarray
+    zTsn: jnp.ndarray
+    zqin: jnp.ndarray
+    zTin: jnp.ndarray
+    fsensn: jnp.ndarray
+    flatn: jnp.ndarray
+    flwoutn: jnp.ndarray
+    fsurfn: jnp.ndarray
+    fcondtopn: jnp.ndarray
+    fcondbot: jnp.ndarray
+    fswsfc: jnp.ndarray
+    fswint: jnp.ndarray
+    Sswabs: jnp.ndarray
+    Iswabs: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def conductivity(l_snow, hilyr, hslyr, zTin, zSin, *, nilyr, nslyr,
+                 conduct="bubbly", ksno=ct.ksno):
+    """Effective conductivities at the nilyr+nslyr+1 interfaces
+    (ice_therm_bl99.F90:940-1064)."""
+    kslyr = jnp.broadcast_to(jnp.asarray(ksno, zTin.dtype),
+                             (nslyr,) + zTin.shape[1:])
+    Tneg = jnp.minimum(zTin, -ct.puny)
+    if conduct == "MU71":
+        kilyr = ct.kice + shared.betak * zSin / Tneg
+    else:  # Pringle et al. 2007 'bubbly brine'
+        kilyr = (2.11 - 0.011 * zTin + 0.09 * zSin / Tneg) * (ct.rhoi / 917.0)
+    kilyr = jnp.maximum(kilyr, shared.kimin)
+
+    hs = jnp.maximum(hslyr, ct.puny)
+    hi = jnp.maximum(hilyr, ct.puny)
+
+    rows = []
+    # top of snow / top of ice surface interface
+    kh0 = jnp.where(l_snow, 2.0 * kslyr[0] / hs, 0.0)
+    rows.append(kh0)
+    # interior snow interfaces
+    for k in range(1, nslyr):
+        v = 2.0 * kslyr[k - 1] * kslyr[k] / ((kslyr[k - 1] + kslyr[k]) * hs)
+        rows.append(jnp.where(l_snow, v, 0.0))
+    # snow/ice interface (or top-ice surface if no snow)
+    k_si = jnp.where(
+        l_snow,
+        2.0 * kslyr[nslyr - 1] * kilyr[0]
+        / (kslyr[nslyr - 1] * hi + kilyr[0] * hs),
+        2.0 * kilyr[0] / hi)
+    rows.append(k_si)
+    # interior ice interfaces
+    for k in range(1, nilyr):
+        rows.append(2.0 * kilyr[k - 1] * kilyr[k]
+                    / ((kilyr[k - 1] + kilyr[k]) * hi))
+    # bottom interface
+    rows.append(2.0 * kilyr[nilyr - 1] / hi)
+    return jnp.stack(rows, axis=0)
+
+
+def _assemble_matrix(*, nilyr, nslyr, l_snow, l_cold, Tsf, Tbot, fsurfn,
+                     dfsurf_dT, Tin_init, Tsn_init, kh, Sswabs, Iswabs,
+                     etai, etas):
+    """Tridiagonal rows for the calc_Tsfc case
+    (ice_therm_bl99.F90:1172-1471 get_matrix_elements_calc_Tsfc).
+
+    Row layout (0-based): surface eq at row 0 (snow present) or row nslyr
+    (no snow); snow layer k at row k+1; ice layer k at row k+nslyr+1.
+    Unused rows are identity dummies."""
+    nmat = nilyr + nslyr + 1
+    one = jnp.ones_like(Tsf)
+    zero = jnp.zeros_like(Tsf)
+    sb, dg, sp, rh = [], [], [], []
+    for r in range(nmat):
+        # --- candidate: surface equation (cold surface) ---
+        # coupling conductivity: kh[0] with snow, kh[nslyr] without
+        kh_sfc = jnp.where(l_snow, kh[0], kh[nslyr])
+        sfc = (zero, dfsurf_dT - kh_sfc, kh_sfc, dfsurf_dT * Tsf - fsurfn)
+        is_sfc = l_cold & (l_snow if r == 0 else
+                           (~l_snow if r == nslyr else jnp.zeros_like(l_cold)))
+
+        if 1 <= r <= nslyr:
+            ks = r - 1
+            sb_s = -etas[ks] * kh[r - 1]
+            sp_s = -etas[ks] * kh[r]
+            dg_s = 1.0 + etas[ks] * (kh[r - 1] + kh[r])
+            rh_s = Tsn_init[ks] + etas[ks] * Sswabs[ks]
+            if ks == 0:
+                # melting surface: drop kh[0] coupling into rhs
+                sb_s = jnp.where(l_cold, sb_s, zero)
+                rh_s = jnp.where(l_cold, rh_s,
+                                 rh_s + etas[0] * kh[0] * Tsf)
+            is_snow_row = l_snow
+        else:
+            sb_s = sp_s = rh_s = zero
+            dg_s = one
+            is_snow_row = jnp.zeros_like(l_snow)
+
+        if r >= nslyr + 1:
+            ki = r - nslyr - 1
+            kt, kb = kh[r - 1], kh[r]
+            sb_i = -etai[ki] * kt
+            sp_i = -etai[ki] * kb
+            dg_i = 1.0 + etai[ki] * (kt + kb)
+            rh_i = Tin_init[ki] + etai[ki] * Iswabs[ki]
+            if ki == 0:
+                # no snow & melting surface: Tsf known, drop top coupling
+                warm_nosnow = (~l_snow) & (~l_cold)
+                sb_i = jnp.where(warm_nosnow, zero, sb_i)
+                rh_i = jnp.where(warm_nosnow,
+                                 rh_i + etai[0] * kt * Tsf, rh_i)
+            if ki == nilyr - 1:
+                sp_i = zero
+                rh_i = rh_i + etai[ki] * kb * Tbot
+            is_ice_row = jnp.ones_like(l_snow)
+        else:
+            sb_i = sp_i = rh_i = zero
+            dg_i = one
+            is_ice_row = jnp.zeros_like(l_snow)
+
+        if r >= nslyr + 1:
+            sb.append(sb_i); dg.append(dg_i); sp.append(sp_i); rh.append(rh_i)
+        else:
+            sb_r = jnp.where(is_sfc, sfc[0], jnp.where(is_snow_row, sb_s, zero))
+            dg_r = jnp.where(is_sfc, sfc[1], jnp.where(is_snow_row, dg_s, one))
+            sp_r = jnp.where(is_sfc, sfc[2], jnp.where(is_snow_row, sp_s, zero))
+            rh_r = jnp.where(is_sfc, sfc[3], jnp.where(is_snow_row, rh_s, zero))
+            sb.append(sb_r); dg.append(dg_r); sp.append(sp_r); rh.append(rh_r)
+    return (jnp.stack(sb), jnp.stack(dg), jnp.stack(sp), jnp.stack(rh))
+
+
+def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
+                        mask, rhoa, flw, potT, Qa, shcoef, lhcoef,
+                        fswsfc, fswint, Sswabs, Iswabs,
+                        hilyr, hslyr, zTin, zSin, zTsn, Tsf, Tbot,
+                        einit) -> BL99Result:
+    """BL99 temperature update for one category slab (calc_Tsfc path).
+
+    mask: bool (*B), True where aicen > puny; masked-out cells pass through.
+    """
+    dtype = zTin.dtype
+    nmat = nilyr + nslyr + 1
+    B = Tsf.shape
+    fzero = jnp.zeros(B, dtype)
+
+    hilyr = jnp.maximum(hilyr, ct.puny)
+    l_snow = hslyr > (ct.hs_min / nslyr)
+    dt_rhoi_hlyr = dt / (ct.rhoi * hilyr)
+    etas = jnp.where(l_snow, dt / (ct.rhos * ct.cp_ice *
+                                   jnp.maximum(hslyr, ct.puny)), 0.0)
+    etas = jnp.broadcast_to(etas, (nslyr,) + B)
+
+    Tin_init = zTin
+    Tsn_init = zTsn
+    Tmlts = -zSin * ct.depressT
+
+    kh0 = conductivity(l_snow, hilyr, hslyr, zTin, zSin, nilyr=nilyr,
+                       nslyr=nslyr, conduct=conduct, ksno=ksno)
+
+    # --- shortwave overshoot guard (ice_therm_bl99.F90:296-364):
+    # move absorbed SW that would overshoot the melting temperature into the
+    # surface flux.
+    frac, dTemp = 0.9, 0.02
+    if l_brine:
+        ci0 = ct.cp_ice - ct.Lfresh * Tmlts / jnp.minimum(Tin_init, -ct.puny) ** 2
+        cap = frac * (Tmlts - Tin_init) * ci0 / dt_rhoi_hlyr
+        cold = Tin_init <= Tmlts - dTemp
+    else:
+        cap = frac * (-Tin_init) * ct.cp_ice / dt_rhoi_hlyr
+        cold = Tin_init <= -dTemp
+    Isw_tmp = jnp.where(cold, jnp.minimum(Iswabs, cap), 0.0)
+    Isw_tmp = jnp.where(Isw_tmp < ct.puny, 0.0, Isw_tmp)
+    for k in range(nilyr):
+        dsw = jnp.minimum(Iswabs[k] - Isw_tmp[k], fswint)
+        fswsfc = fswsfc + dsw
+        fswint = fswint - dsw
+    Iswabs = Isw_tmp
+
+    Ssw_cap = jnp.where(Tsn_init <= -dTemp,
+                        -frac * Tsn_init / jnp.maximum(etas, ct.puny), 0.0)
+    Ssw_tmp = jnp.where(l_snow, jnp.minimum(Sswabs, Ssw_cap), 0.0)
+    Ssw_tmp = jnp.where(Ssw_tmp < ct.puny, 0.0, Ssw_tmp)
+    for k in range(nslyr):
+        dsw = jnp.where(l_snow, jnp.minimum(Sswabs[k] - Ssw_tmp[k], fswint), 0.0)
+        fswsfc = fswsfc + dsw
+        fswint = fswint - dsw
+    Sswabs = Ssw_tmp
+
+    def brine_ci(T_new, T_old):
+        if l_brine:
+            return ct.cp_ice - ct.Lfresh * Tmlts / (
+                jnp.minimum(T_new, -ct.puny) * jnp.minimum(T_old, -ct.puny))
+        return jnp.full_like(T_new, ct.cp_ice)
+
+    class Carry(NamedTuple):
+        niter: jnp.ndarray
+        Tsf: jnp.ndarray
+        zTsn: jnp.ndarray
+        zTin: jnp.ndarray
+        zqsn: jnp.ndarray
+        zqin: jnp.ndarray
+        kh: jnp.ndarray
+        dTsf_prev: jnp.ndarray
+        converged: jnp.ndarray
+        flwoutn: jnp.ndarray
+        fsensn: jnp.ndarray
+        flatn: jnp.ndarray
+        fsurfn: jnp.ndarray
+        fcondtopn: jnp.ndarray
+        fcondbot: jnp.ndarray
+        dflwout_dT: jnp.ndarray
+        dfsens_dT: jnp.ndarray
+        dflat_dT: jnp.ndarray
+        einex: jnp.ndarray
+
+    init = Carry(
+        niter=jnp.zeros((), jnp.int32), Tsf=Tsf, zTsn=zTsn, zTin=zTin,
+        zqsn=shared.snow_enthalpy(zTsn),
+        zqin=shared.ice_enthalpy(zTin, Tmlts, l_brine), kh=kh0,
+        dTsf_prev=fzero, converged=~mask,
+        flwoutn=fzero, fsensn=fzero, flatn=fzero, fsurfn=fzero,
+        fcondtopn=fzero, fcondbot=fzero, dflwout_dT=fzero, dfsens_dT=fzero,
+        dflat_dT=fzero, einex=fzero)
+
+    def cond(c: Carry):
+        return (c.niter < NITERMAX) & jnp.any(~c.converged)
+
+    def body(c: Carry) -> Carry:
+        active = ~c.converged
+        niter = c.niter + 1
+
+        # specific heat / etai from latest guess (energy-conserving form)
+        ci = brine_ci(c.zTin, Tin_init)
+        etai = dt_rhoi_hlyr / ci
+
+        # surface fluxes + derivatives at current Tsf
+        flwo, fsen, flat, fsur = shared.surface_heat_flux(
+            c.Tsf, fswsfc, rhoa, flw, potT, Qa, shcoef, lhcoef)
+        dfsurf, dflwo, dfsen, dflat = shared.dsurface_heat_flux_dTsf(
+            c.Tsf, rhoa, shcoef, lhcoef)
+        flwoutn = jnp.where(active, flwo, c.flwoutn)
+        fsensn = jnp.where(active, fsen, c.fsensn)
+        flatn = jnp.where(active, flat, c.flatn)
+        fsurfn = jnp.where(active, fsur, c.fsurfn)
+        dflwout_dT = jnp.where(active, dflwo, c.dflwout_dT)
+        dfsens_dT = jnp.where(active, dfsen, c.dfsens_dT)
+        dflat_dT = jnp.where(active, dflat, c.dflat_dT)
+
+        fct = jnp.where(l_snow, c.kh[0] * (c.Tsf - c.zTsn[0]),
+                        c.kh[nslyr] * (c.Tsf - c.zTin[0]))
+        fcondtopn = jnp.where(active, fct, c.fcondtopn)
+        Tsf_cur = jnp.where(active & (c.Tsf >= 0.0) & (fsurfn < fcondtopn),
+                            -ct.puny, c.Tsf)
+        Tsf_start = Tsf_cur
+        l_cold = Tsf_cur < 0.0
+
+        sb, dg, sp, rh = _assemble_matrix(
+            nilyr=nilyr, nslyr=nslyr, l_snow=l_snow, l_cold=l_cold,
+            Tsf=Tsf_start, Tbot=Tbot, fsurfn=fsurfn, dfsurf_dT=dfsurf,
+            Tin_init=Tin_init, Tsn_init=Tsn_init, kh=c.kh,
+            Sswabs=Sswabs, Iswabs=Iswabs, etai=etai, etas=etas)
+        Tmat = tridiag_solve(sb, dg, sp, rh)
+
+        # --- surface temperature update + conditions 1 & 2 ---
+        Tsf_new = jnp.where(l_cold,
+                            jnp.where(l_snow, Tmat[0], Tmat[nslyr]), 0.0)
+        dTsf = Tsf_new - Tsf_start
+        conv = jnp.ones_like(mask)
+
+        cond1 = Tsf_new > ct.puny
+        cond2 = ((niter > 1) & (Tsf_start <= -ct.puny)
+                 & (jnp.abs(dTsf) > ct.puny)
+                 & (jnp.abs(c.dTsf_prev) > ct.puny)
+                 & (-dTsf / (c.dTsf_prev + ct.puny * ct.puny) > 0.5)
+                 & ~cond1)
+        Tsf_new = jnp.where(cond1, 0.0, Tsf_new)
+        dTsf = jnp.where(cond1, -Tsf_start, jnp.where(cond2, 0.5 * dTsf, dTsf))
+        avg_Tsf = jnp.where(cond2 & l_brine, 1.0, 0.0)
+        avg_Tsi = jnp.where((cond1 | cond2) & l_brine, 1.0, 0.0)
+        conv = conv & ~cond1 & ~cond2
+        Tsf_new = Tsf_new + avg_Tsf * 0.5 * (Tsf_start - Tsf_new)
+
+        # --- snow layers ---
+        zTsn_new = jnp.where(l_snow, Tmat[1:1 + nslyr], 0.0)
+        if l_brine:
+            zTsn_new = jnp.minimum(zTsn_new, 0.0)
+        zTsn_new = zTsn_new + avg_Tsi * 0.5 * (c.zTsn - zTsn_new)
+        zqsn_new = shared.snow_enthalpy(zTsn_new)
+        enew = jnp.sum(hslyr * zqsn_new, axis=0)
+
+        # --- ice layers ---
+        zTin_mat = Tmat[1 + nslyr:]
+        if l_brine:
+            over = zTin_mat > Tmlts - ct.puny
+            dTmat = jnp.where(over, zTin_mat - Tmlts, 0.0)
+            dqmat = jnp.where(
+                over,
+                ct.rhoi * dTmat * (ct.cp_ice - ct.Lfresh * Tmlts
+                                   / jnp.minimum(zTin_mat, -ct.puny) ** 2),
+                0.0)
+            zTin_new = jnp.where(over, Tmlts, zTin_mat)
+            reduce_kh = over
+        else:
+            dqmat = jnp.zeros_like(zTin_mat)
+            zTin_new = zTin_mat
+            reduce_kh = jnp.zeros_like(zTin_mat, bool)
+        zTin_new = zTin_new + avg_Tsi * 0.5 * (c.zTin - zTin_new)
+        zqin_new = shared.ice_enthalpy(zTin_new, Tmlts, l_brine)
+        enew = enew + jnp.sum(hilyr * zqin_new, axis=0)
+        einex = jnp.sum(hilyr * dqmat, axis=0)
+
+        # --- conditions 3 & 4 ---
+        conv = conv & (jnp.abs(dTsf) <= TSF_ERRMAX)
+        fsurfn = jnp.where(active, fsurfn + dTsf * dfsurf, fsurfn)
+        fct2 = jnp.where(l_snow, c.kh[0] * (Tsf_new - zTsn_new[0]),
+                         c.kh[nslyr] * (Tsf_new - zTin_new[0]))
+        fcondtopn = jnp.where(active, fct2, fcondtopn)
+        conv = conv & ~((Tsf_new >= 0.0) & (fsurfn < fcondtopn))
+
+        # --- condition 5: energy conservation ---
+        fcb = c.kh[nmat - 1] * (zTin_new[nilyr - 1] - Tbot) + einex / dt
+        ferr = jnp.abs((enew - einit) / dt - (fcondtopn - fcb + fswint))
+        bad_energy = ferr > 0.9 * shared.ferrmax
+        conv = conv & ~bad_energy
+
+        # Conductivity reduction for the next iteration where the energy
+        # check failed (ice_therm_bl99.F90:836-849). The reference loops
+        # layers k ascending doing kh(k+nslyr+1) *= frac then
+        # kh(k+nslyr) = kh(k+nslyr+1); the vectorized fixed point is:
+        # interface i takes the scaled bottom value of the layer BELOW it if
+        # that layer reduces, else of the layer ABOVE it if that one does.
+        red = reduce_kh & (dqmat > 0.0) & bad_energy & active   # (nilyr,*B)
+        fr = jnp.maximum(0.5 * (1.0 - ferr / jnp.maximum(
+            jnp.abs(fcondtopn - fcb), ct.puny)), 0.1)
+        scale = jnp.where(red, fr, 1.0)                         # (nilyr,*B)
+        iface = c.kh[nslyr:]                                    # (nilyr+1,*B)
+        scaled_bot = c.kh[nslyr + 1:] * scale                   # (nilyr,*B)
+        fb = jnp.zeros_like(red[:1])
+        red_below = jnp.concatenate([red, fb], axis=0)
+        red_above = jnp.concatenate([fb, red], axis=0)
+        sb_below = jnp.concatenate([scaled_bot, scaled_bot[-1:]], axis=0)
+        sb_above = jnp.concatenate([iface[:1], scaled_bot], axis=0)
+        iface_new = jnp.where(red_below, sb_below,
+                              jnp.where(red_above, sb_above, iface))
+        kh_new = jnp.concatenate([c.kh[:nslyr], iface_new], axis=0)
+
+        # merge into carry (frozen cells keep previous values)
+        upd = lambda new, old: jnp.where(active, new, old)
+        updk = lambda new, old: jnp.where(active[None], new, old)
+        return Carry(
+            niter=niter,
+            Tsf=upd(Tsf_new, c.Tsf),
+            zTsn=updk(zTsn_new, c.zTsn),
+            zTin=updk(zTin_new, c.zTin),
+            zqsn=updk(zqsn_new, c.zqsn),
+            zqin=updk(zqin_new, c.zqin),
+            kh=updk(kh_new, c.kh),
+            dTsf_prev=upd(dTsf, c.dTsf_prev),
+            converged=c.converged | (conv & active),
+            flwoutn=flwoutn, fsensn=fsensn, flatn=flatn, fsurfn=fsurfn,
+            fcondtopn=fcondtopn,
+            fcondbot=upd(fcb, c.fcondbot),
+            dflwout_dT=dflwout_dT, dfsens_dT=dfsens_dT, dflat_dT=dflat_dT,
+            einex=upd(einex, c.einex))
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # post-loop flux correction (ice_therm_bl99.F90:905-918)
+    flwoutn = final.flwoutn + final.dTsf_prev * final.dflwout_dT
+    fsensn = final.fsensn + final.dTsf_prev * final.dfsens_dT
+    flatn = final.flatn + final.dTsf_prev * final.dflat_dT
+
+    m = mask
+    return BL99Result(
+        Tsf=jnp.where(m, final.Tsf, Tsf),
+        zqsn=jnp.where(m[None], final.zqsn, shared.snow_enthalpy(zTsn)),
+        zTsn=jnp.where(m[None], final.zTsn, zTsn),
+        zqin=jnp.where(m[None], final.zqin,
+                       shared.ice_enthalpy(zTin, Tmlts, l_brine)),
+        zTin=jnp.where(m[None], final.zTin, zTin),
+        fsensn=jnp.where(m, fsensn, 0.0),
+        flatn=jnp.where(m, flatn, 0.0),
+        flwoutn=jnp.where(m, flwoutn, 0.0),
+        fsurfn=jnp.where(m, final.fsurfn, 0.0),
+        fcondtopn=jnp.where(m, final.fcondtopn, 0.0),
+        fcondbot=jnp.where(m, final.fcondbot, 0.0),
+        fswsfc=jnp.where(m, fswsfc, 0.0),
+        fswint=jnp.where(m, fswint, 0.0),
+        Sswabs=jnp.where(m[None], Sswabs, 0.0),
+        Iswabs=jnp.where(m[None], Iswabs, 0.0),
+        converged=final.converged | ~m)

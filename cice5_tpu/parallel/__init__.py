@@ -1,0 +1,9 @@
+from cice5_tpu.parallel.halo import Topology, extend, interior, shifted, global_sum
+from cice5_tpu.parallel.mesh import (AXIS_X, AXIS_Y, best_mesh_shape, make_mesh,
+                                     mesh_topology, spatial_spec)
+
+__all__ = [
+    "Topology", "extend", "interior", "shifted", "global_sum",
+    "AXIS_X", "AXIS_Y", "best_mesh_shape", "make_mesh", "mesh_topology",
+    "spatial_spec",
+]

@@ -1,0 +1,176 @@
+"""Prognostic model state and runtime tracer registry.
+
+TPU-native redesign of /root/reference/source/ice_state.F90:53-147: instead of
+Fortran module globals with (nx_block,ny_block,...,max_blocks) block dims, the
+full prognostic state is one immutable pytree of dense global-or-shard arrays
+with layout ``(ncat, ny, nx)`` / ``(ncat, ntrcr, ny, nx)`` — category and
+tracer axes leading so that the trailing (ny, nx) axes map onto TPU
+(sublane, lane) tiles and shard cleanly over a 2-D device mesh.
+
+The tracer registry mirrors ice_state.F90:97-135 (index pointers nt_*) and the
+dependency encoding of ice_init.F90:1361-1392 / ice_transport_driver.F90:95-110:
+``depend`` is 0 (area-weighted), 1 (ice-volume), 2 (snow-volume), or
+``3 + parent_index`` (depends on another tracer, e.g. pond depth on pond area).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+
+from cice5_tpu.config import ModelConfig
+from cice5_tpu.utils import pytree_dataclass
+from cice5_tpu import constants as ct
+
+# depend codes
+DEP_AICE = 0
+DEP_VICE = 1
+DEP_VSNO = 2
+DEP_TRCR = 3  # depend >= 3 means 'depends on tracer (depend - 3)'
+
+
+@dataclass(frozen=True)
+class TracerRegistry:
+    """Static tracer layout: names, index ranges, dependencies.
+
+    Built once from config; hashable, so it can ride along as a jit-static
+    argument. Index attributes are 0-based offsets into the trcrn axis.
+    """
+    ntrcr: int
+    names: tuple[str, ...]          # one name per tracer slot
+    depend: tuple[int, ...]         # per-slot dependency code
+    nt_Tsfc: int
+    nt_qice: int                    # first of nilyr enthalpy layers
+    nt_sice: int                    # first of nilyr salinity layers
+    nt_qsno: int                    # first of nslyr snow-enthalpy layers
+    nt_iage: int = -1
+    nt_FY: int = -1
+    nt_alvl: int = -1
+    nt_vlvl: int = -1
+    nt_apnd: int = -1
+    nt_hpnd: int = -1
+    nt_ipnd: int = -1
+    nt_aero: int = -1
+    nt_fbri: int = -1
+
+    @property
+    def has_dependents(self) -> tuple[bool, ...]:
+        out = [False] * self.ntrcr
+        for d in self.depend:
+            if d >= DEP_TRCR:
+                out[d - DEP_TRCR] = True
+        return tuple(out)
+
+
+def build_tracer_registry(cfg: ModelConfig) -> TracerRegistry:
+    """Assign tracer slots in the reference's canonical order
+    (ice_state.F90:97-123, ice_init.F90:1361-1392)."""
+    names: list[str] = []
+    depend: list[int] = []
+    idx: dict[str, int] = {}
+
+    def add(name: str, n: int, dep) -> int:
+        start = len(names)
+        idx[name] = start
+        for k in range(n):
+            names.append(name if n == 1 else f"{name}{k:03d}")
+            depend.append(dep if isinstance(dep, int) else dep[k])
+        return start
+
+    nilyr, nslyr = cfg.nilyr, cfg.nslyr
+    t = cfg.tracers
+    add("Tsfc", 1, DEP_AICE)
+    add("qice", nilyr, DEP_VICE)
+    add("sice", nilyr, DEP_VICE)
+    add("qsno", nslyr, DEP_VSNO)
+    if t.tr_iage:
+        add("iage", 1, DEP_VICE)
+    if t.tr_FY:
+        add("FY", 1, DEP_AICE)
+    if t.tr_lvl:
+        add("alvl", 1, DEP_AICE)
+        add("vlvl", 1, DEP_VICE)
+    if t.tr_pond_cesm:
+        a = add("apnd", 1, DEP_AICE)
+        add("hpnd", 1, DEP_TRCR + a)
+    elif t.tr_pond_lvl:
+        a = add("apnd", 1, DEP_TRCR + idx["alvl"])
+        add("hpnd", 1, DEP_TRCR + a)
+        add("ipnd", 1, DEP_TRCR + a)
+    elif t.tr_pond_topo:
+        a = add("apnd", 1, DEP_AICE)
+        add("hpnd", 1, DEP_TRCR + a)
+        add("ipnd", 1, DEP_TRCR + a)
+    if t.tr_aero:
+        for it in range(t.n_aero):
+            add(f"aerosno1_{it}", 1, DEP_VSNO)
+            add(f"aerosno2_{it}", 1, DEP_VSNO)
+            add(f"aeroice1_{it}", 1, DEP_VICE)
+            add(f"aeroice2_{it}", 1, DEP_VICE)
+    if t.tr_brine:
+        add("fbri", 1, DEP_VICE)
+
+    first_aero = idx.get(f"aerosno1_0", -1)
+    return TracerRegistry(
+        ntrcr=len(names), names=tuple(names), depend=tuple(depend),
+        nt_Tsfc=idx["Tsfc"], nt_qice=idx["qice"], nt_sice=idx["sice"],
+        nt_qsno=idx["qsno"],
+        nt_iage=idx.get("iage", -1), nt_FY=idx.get("FY", -1),
+        nt_alvl=idx.get("alvl", -1), nt_vlvl=idx.get("vlvl", -1),
+        nt_apnd=idx.get("apnd", -1), nt_hpnd=idx.get("hpnd", -1),
+        nt_ipnd=idx.get("ipnd", -1), nt_aero=first_aero,
+        nt_fbri=idx.get("fbri", -1),
+    )
+
+
+@pytree_dataclass
+class State:
+    """Full prognostic state (ice_state.F90:53-147 + dynamics stress state
+    ice_flux.F90 stressp_1..4/stressm_1..4/stress12_1..4 — carried in state
+    because exact restart requires them, ice_restart_driver.F90:101-121).
+
+    Shapes: aicen/vicen/vsnon (ncat, ny, nx); trcrn (ncat, ntrcr, ny, nx);
+    uvel/vvel (ny, nx) on U (NE-corner) points; stress* (4, ny, nx) holding
+    the 4 per-cell corner values (NE, NW, SW, SE)."""
+    aicen: jnp.ndarray
+    vicen: jnp.ndarray
+    vsnon: jnp.ndarray
+    trcrn: jnp.ndarray
+    uvel: jnp.ndarray
+    vvel: jnp.ndarray
+    stressp: jnp.ndarray
+    stressm: jnp.ndarray
+    stress12: jnp.ndarray
+    scale_factor: jnp.ndarray   # shortwave scaling accumulator (ny, nx)
+    # slab-ocean prognostic SST (used when forcing.oceanmixed_ice); carried
+    # always so the pytree structure is config-independent at this level.
+    sst: jnp.ndarray
+
+    @property
+    def aice(self):
+        return jnp.sum(self.aicen, axis=0)
+
+    @property
+    def vice(self):
+        return jnp.sum(self.vicen, axis=0)
+
+    @property
+    def vsno(self):
+        return jnp.sum(self.vsnon, axis=0)
+
+
+def zeros_state(cfg: ModelConfig, tr: TracerRegistry) -> State:
+    ny, nx = cfg.grid.ny, cfg.grid.nx
+    dt_ = cfg.xp_dtype
+    z2 = lambda: jnp.zeros((ny, nx), dt_)
+    zc = lambda: jnp.zeros((cfg.ncat, ny, nx), dt_)
+    return State(
+        aicen=zc(), vicen=zc(), vsnon=zc(),
+        trcrn=jnp.zeros((cfg.ncat, tr.ntrcr, ny, nx), dt_),
+        uvel=z2(), vvel=z2(),
+        stressp=jnp.zeros((4, ny, nx), dt_),
+        stressm=jnp.zeros((4, ny, nx), dt_),
+        stress12=jnp.zeros((4, ny, nx), dt_),
+        scale_factor=z2(),
+        sst=z2(),
+    )
