@@ -16,6 +16,10 @@ if os.environ.get("PALLAS_AXON_POOL_IPS"):
     import subprocess
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    # drop the sitecustomize dir that eagerly registers the TPU plugin
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p)
     env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
