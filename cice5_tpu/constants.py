@@ -97,6 +97,7 @@ mps_to_cmpdy = 8.64e6
 # derived, used pervasively in thermo
 Lfresh_rhoi = Lfresh * rhoi
 rhow_cpocn = rhow * cp_ocn
+hfrazilmin = 0.05     # min thickness of new frazil ice, m (ice_therm_shared.F90:51)
 
 
 class FieldLoc(enum.IntEnum):

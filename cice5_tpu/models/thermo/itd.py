@@ -1,0 +1,637 @@
+"""Ice thickness distribution (ITD) machinery.
+
+TPU-native re-expression of /root/reference/source/ice_itd.F90 (category
+bounds :83-237, aggregate :246, rebin :516, shift_ice :815, compute_tracers
+:1359, cleanup_itd :1514, zap_small_areas :1778) and ice_therm_itd.F90
+(linear_itd :69, fit_line :871, lateral_melt :1043, add_new_ice :1239).
+
+State layout: aicen/vicen/vsnon (ncat, *B); trcrn (ncat, ntrcr, *B). The
+reference's compressed per-cell index lists and per-boundary shiftflags
+become dense masked arithmetic; the sequential loop over the ncat-1 category
+boundaries stays a static Python loop (4 iterations for ncat=5), each fully
+vectorized over the grid — the donor/receiver scatter is expressed as a pair
+of jnp.where adds per boundary, so XLA fuses the whole shift into one pass.
+
+Tracer conservation uses the dependency-weight formalism: every tracer slot
+has a weight w(it) in {aicen, vicen, vsnon, w(parent)*trcrn[parent]}; the
+conserved quantity is w*trcrn (ice_transport_driver.F90:95-110 semantics),
+and shift/aggregate/compute_tracers all derive from it.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from cice5_tpu import constants as ct
+from cice5_tpu.state import TracerRegistry, DEP_AICE, DEP_VICE, DEP_VSNO, DEP_TRCR
+
+
+# ----------------------------------------------------------------------
+# category bounds (ice_itd.F90:83-237)
+# ----------------------------------------------------------------------
+
+def category_bounds(ncat: int, kitd: int = 1, kcatbound: int = 1,
+                    hi_min: float = 0.01) -> np.ndarray:
+    """hin_max(0:ncat) category thickness limits."""
+    hin_max = np.zeros(ncat + 1)
+    if kcatbound == -1:
+        hin_max[1] = 100.0
+    elif kcatbound == 0:
+        if kitd == 1:
+            cc1 = 3.0 / ncat
+            cc2 = 15.0 * cc1
+            cc3 = 3.0
+            hin_max[0] = 0.0
+        else:
+            hi_min = 0.1
+            cc1 = max(1.1 / ncat, hi_min)
+            cc2 = 25.0 * cc1
+            cc3 = 2.25
+            hin_max[0] = hi_min
+        for n in range(1, ncat + 1):
+            x1 = (n - 1) / ncat
+            hin_max[n] = hin_max[n - 1] + cc1 + cc2 * (
+                1.0 + np.tanh(cc3 * (x1 - 1.0)))
+    elif kcatbound == 1:
+        d1, d2 = 3.0 / ncat, 0.5 / ncat
+        for n in range(1, ncat + 1):
+            hin_max[n] = n * (d1 + (n - 1) * d2)
+    elif kcatbound == 2:
+        wmo = {5: [0.30, 0.70, 1.20, 2.00, 999.0],
+               6: [0.15, 0.30, 0.70, 1.20, 2.00, 999.0],
+               7: [0.10, 0.15, 0.30, 0.70, 1.20, 2.00, 999.0]}
+        hin_max[1:] = wmo[ncat]
+    return hin_max
+
+
+# ----------------------------------------------------------------------
+# tracer dependency weights
+# ----------------------------------------------------------------------
+
+def tracer_weights(tr: TracerRegistry, aicen, vicen, vsnon, trcrn):
+    """Per-slot conservation weights w so that (w * trcrn) is conserved.
+
+    aicen/vicen/vsnon: (ncat, *B); trcrn: (ncat, ntrcr, *B).
+    Returns w: (ncat, ntrcr, *B). Parents always precede children in the
+    registry, so a single in-order pass resolves chains.
+    """
+    ws = []
+    for it in range(tr.ntrcr):
+        d = tr.depend[it]
+        if d == DEP_AICE:
+            w = aicen
+        elif d == DEP_VICE:
+            w = vicen
+        elif d == DEP_VSNO:
+            w = vsnon
+        else:
+            p = d - DEP_TRCR
+            w = ws[p] * trcrn[:, p]
+        ws.append(w)
+    return jnp.stack(ws, axis=1)
+
+
+def compute_tracers(tr: TracerRegistry, atrcrn, aicen, vicen, vsnon):
+    """Invert conserved amounts back to tracer values
+    (ice_itd.F90:1359-1501 compute_tracers).
+
+    atrcrn: (ncat, ntrcr, *B) conserved amounts. Returns trcrn."""
+    outs = []
+    for it in range(tr.ntrcr):
+        d = tr.depend[it]
+        if d == DEP_AICE:
+            w = aicen
+            ok = aicen > ct.puny
+        elif d == DEP_VICE:
+            w = vicen
+            ok = vicen > 0.0
+        elif d == DEP_VSNO:
+            w = vsnon
+            ok = vsnon > 0.0
+        else:
+            # walk the parent chain: weight = base * prod(parent tracers)
+            w = None
+            q = it
+            while tr.depend[q] >= DEP_TRCR:
+                q = tr.depend[q] - DEP_TRCR
+                w = outs[q] if w is None else w * outs[q]
+            base = {DEP_AICE: aicen, DEP_VICE: vicen,
+                    DEP_VSNO: vsnon}[tr.depend[q]]
+            w = base * w
+            ok = w > 0.0
+        val = jnp.where(ok, atrcrn[:, it] / jnp.where(ok, w, 1.0), 0.0)
+        if it == tr.nt_Tsfc:
+            val = jnp.where(ok, val, ct.Tocnfrz)
+        if it == tr.nt_fbri:
+            val = jnp.where(ok, val, 1.0)
+        outs.append(val)
+    return jnp.stack(outs, axis=1)
+
+
+# ----------------------------------------------------------------------
+# aggregation (ice_itd.F90:246-508)
+# ----------------------------------------------------------------------
+
+class Aggregate(NamedTuple):
+    aice: jnp.ndarray
+    vice: jnp.ndarray
+    vsno: jnp.ndarray
+    trcr: jnp.ndarray   # (ntrcr, *B) cell-mean tracers
+    aice0: jnp.ndarray
+
+
+def aggregate(tr: TracerRegistry, aicen, vicen, vsnon, trcrn) -> Aggregate:
+    """Category -> cell aggregates incl. dependency-weighted tracer means."""
+    aice = jnp.sum(aicen, axis=0)
+    vice = jnp.sum(vicen, axis=0)
+    vsno = jnp.sum(vsnon, axis=0)
+    w = tracer_weights(tr, aicen, vicen, vsnon, trcrn)
+    atrcr = jnp.sum(w * trcrn, axis=0)             # (ntrcr, *B)
+    wtot = jnp.sum(w, axis=0)
+    ok = wtot > ct.puny
+    trcr = jnp.where(ok, atrcr / jnp.where(ok, wtot, 1.0), 0.0)
+    aice0 = jnp.maximum(1.0 - aice, 0.0)
+    return Aggregate(aice=aice, vice=vice, vsno=vsno, trcr=trcr, aice0=aice0)
+
+
+# ----------------------------------------------------------------------
+# shift_ice (ice_itd.F90:815-1243)
+# ----------------------------------------------------------------------
+
+def shift_ice(tr: TracerRegistry, aicen, vicen, vsnon, trcrn,
+              donor, daice, dvice):
+    """Transfer area/volume/tracers across category boundaries.
+
+    donor: (ncat-1, *B) int32, -1 = no transfer, else 0-based donor category
+    (either b or b+1 for boundary b). daice/dvice: (ncat-1, *B) >= 0.
+    Returns updated (aicen, vicen, vsnon, trcrn).
+    """
+    ncat = aicen.shape[0]
+    atrcrn = tracer_weights(tr, aicen, vicen, vsnon, trcrn) * trcrn
+
+    for b in range(ncat - 1):
+        db = donor[b]
+        da = daice[b]
+        dv = dvice[b]
+        lo_is_donor = db == b
+        active = (db >= 0)
+
+        a_nd = jnp.where(lo_is_donor, aicen[b], aicen[b + 1])
+        v_nd = jnp.where(lo_is_donor, vicen[b], vicen[b + 1])
+
+        # range snapping (ice_itd.F90:905-1032): tiny -> zero, near-full ->
+        # whole category
+        tiny = (da < -ct.puny * a_nd) | (dv < -ct.puny * v_nd)
+        da = jnp.where((da < 0) & ~tiny, 0.0, da)
+        dv = jnp.where((dv < 0) & ~tiny, 0.0, dv)
+        whole = (da > a_nd * (1.0 - ct.puny)) | (dv > v_nd * (1.0 - ct.puny))
+        da = jnp.where(whole, a_nd, da)
+        dv = jnp.where(whole, v_nd, dv)
+        active = active & (da > 0.0)
+        da = jnp.where(active, da, 0.0)
+        dv = jnp.where(active, dv, 0.0)
+
+        frac = jnp.where(active, da / jnp.maximum(a_nd, ct.puny), 0.0)
+        s_nd = jnp.where(lo_is_donor, vsnon[b], vsnon[b + 1])
+        dvs = s_nd * frac
+
+        # signed deltas for the two categories at this boundary
+        sgn_lo = jnp.where(lo_is_donor, -1.0, 1.0)
+        aicen = aicen.at[b].add(sgn_lo * da).at[b + 1].add(-sgn_lo * da)
+        vicen = vicen.at[b].add(sgn_lo * dv).at[b + 1].add(-sgn_lo * dv)
+        vsnon = vsnon.at[b].add(sgn_lo * dvs).at[b + 1].add(-sgn_lo * dvs)
+
+        # tracer amounts from the donor category
+        t_nd = jnp.where(lo_is_donor[None], trcrn[b], trcrn[b + 1])
+        dats = []
+        for it in range(tr.ntrcr):
+            # walk the parent chain: amount = base(root) * prod(parents) * t
+            amt = t_nd[it]
+            q = it
+            while tr.depend[q] >= DEP_TRCR:
+                q = tr.depend[q] - DEP_TRCR
+                amt = amt * t_nd[q]
+            base = {DEP_AICE: da, DEP_VICE: dv, DEP_VSNO: dvs}[tr.depend[q]]
+            dats.append(base * amt)
+        dat = jnp.stack(dats, axis=0)                 # (ntrcr, *B)
+        atrcrn = atrcrn.at[b].add(sgn_lo[None] * dat)
+        atrcrn = atrcrn.at[b + 1].add(-sgn_lo[None] * dat)
+
+    trcrn = compute_tracers(tr, atrcrn, aicen, vicen, vsnon)
+    return aicen, vicen, vsnon, trcrn
+
+
+# ----------------------------------------------------------------------
+# rebin (ice_itd.F90:516-729)
+# ----------------------------------------------------------------------
+
+def rebin(tr: TracerRegistry, hin_max, aicen, vicen, vsnon, trcrn):
+    """Enforce category bounds by whole-category shifts."""
+    ncat = aicen.shape[0]
+    B = aicen.shape[1:]
+    hicen = jnp.where(aicen > ct.puny,
+                      vicen / jnp.maximum(aicen, ct.puny), 0.0)
+
+    # cat 1 minimum thickness
+    if hin_max[0] > 0.0:
+        thin = (aicen[0] > ct.puny) & (hicen[0] <= hin_max[0])
+        aicen = aicen.at[0].set(jnp.where(thin, vicen[0] / hin_max[0],
+                                          aicen[0]))
+
+    def boundary_shift(b, donor_cat):
+        nonlocal aicen, vicen, vsnon, trcrn
+        h = jnp.where(aicen[donor_cat] > ct.puny,
+                      vicen[donor_cat] / jnp.maximum(aicen[donor_cat], ct.puny),
+                      0.0)
+        if donor_cat == b:            # too thick -> move up
+            move = (aicen[b] > ct.puny) & (h > hin_max[b + 1])
+        else:                         # too thin -> move down
+            move = (aicen[b + 1] > ct.puny) & (h <= hin_max[b + 1])
+        donor = jnp.full((ncat - 1,) + B, -1, jnp.int32)
+        donor = donor.at[b].set(jnp.where(move, donor_cat, -1))
+        da = jnp.zeros((ncat - 1,) + B, aicen.dtype)
+        dv = jnp.zeros_like(da)
+        da = da.at[b].set(jnp.where(move, aicen[donor_cat], 0.0))
+        dv = dv.at[b].set(jnp.where(move, vicen[donor_cat], 0.0))
+        aicen, vicen, vsnon, trcrn = shift_ice(
+            tr, aicen, vicen, vsnon, trcrn, donor, da, dv)
+
+    for b in range(ncat - 1):             # move thin categories up
+        boundary_shift(b, b)
+    for b in reversed(range(ncat - 1)):   # move thick categories down
+        boundary_shift(b, b + 1)
+    return aicen, vicen, vsnon, trcrn
+
+
+# ----------------------------------------------------------------------
+# linear remapping ITD (ice_therm_itd.F90:69-868)
+# ----------------------------------------------------------------------
+
+def _fit_line(aicen, hice, hbL, hbR):
+    """g(eta) = g0 + g1*eta over [hL, hR] (ice_therm_itd.F90:871-958)."""
+    ok = (aicen > ct.puny) & (hbR - hbL > ct.puny)
+    hL, hR = hbL, hbR
+    h13 = (2.0 * hL + hR) / 3.0
+    h23 = (hL + 2.0 * hR) / 3.0
+    hR = jnp.where(hice < h13, 3.0 * hice - 2.0 * hL, hR)
+    hL = jnp.where(hice > h23, 3.0 * hice - 2.0 * hR, hL)
+    dhr = 1.0 / jnp.maximum(hR - hL, 1e-30)
+    wk1 = 6.0 * aicen * dhr
+    wk2 = (hice - hL) * dhr
+    g0 = jnp.where(ok, wk1 * (2.0 / 3.0 - wk2), 0.0)
+    g1 = jnp.where(ok, 2.0 * dhr * wk1 * (wk2 - 0.5), 0.0)
+    hL = jnp.where(ok, hL, 0.0)
+    hR = jnp.where(ok, hR, 0.0)
+    return g0, g1, hL, hR
+
+
+def linear_itd(tr: TracerRegistry, hin_max, nslyr, *, aicen_init, vicen_init,
+               aicen, vicen, vsnon, trcrn, hi_min=0.01):
+    """Linear-remapping transport in thickness space after thermo growth
+    (ice_therm_itd.F90:69-868 linear_itd). Returns updated state.
+
+    Cells where the boundary shift is out of range keep remap_flag=False and
+    are left to rebin (call cleanup/rebin afterwards).
+    """
+    ncat = aicen.shape[0]
+    B = aicen.shape[1:]
+    dtype = aicen.dtype
+    hmax = list(hin_max)
+    hmax[ncat] = 999.9
+
+    safe = lambda v, a: jnp.where(a > ct.puny, v / jnp.maximum(a, ct.puny), 0.0)
+    hicen_init = safe(vicen_init, aicen_init)
+    hicen = safe(vicen, aicen)
+    dhicen = jnp.where(aicen > ct.puny, hicen - hicen_init, 0.0)
+
+    # new boundaries hbnew (:282-350)
+    hbnew = [jnp.full(B, hmax[0], dtype)]
+    remap = jnp.ones(B, bool)
+    for n in range(ncat - 1):
+        hi_n, hi_n1 = hicen_init[n], hicen_init[n + 1]
+        both = (hi_n > ct.puny) & (hi_n1 > ct.puny)
+        slope = jnp.where(both, (dhicen[n + 1] - dhicen[n])
+                          / jnp.where(both, hi_n1 - hi_n, 1.0), 0.0)
+        hb = jnp.where(
+            both, hmax[n + 1] + dhicen[n] + slope * (hmax[n + 1] - hi_n),
+            jnp.where(hi_n > ct.puny, hmax[n + 1] + dhicen[n],
+                      jnp.where(hi_n1 > ct.puny, hmax[n + 1] + dhicen[n + 1],
+                                hmax[n + 1])))
+        remap = remap & ~((aicen[n] > ct.puny) & (hicen[n] >= hb))
+        remap = remap & ~((aicen[n + 1] > ct.puny) & (hicen[n + 1] <= hb))
+        remap = remap & (hb <= hmax[n + 2]) & (hb >= hmax[n])
+        hbnew.append(hb)
+    # hbnew(ncat)
+    hb_last = jnp.where(aicen[ncat - 1] > ct.puny,
+                        3.0 * hicen[ncat - 1] - 2.0 * hbnew[ncat - 1],
+                        hmax[ncat])
+    hbnew.append(jnp.maximum(hb_last, hmax[ncat - 1]))
+
+    # --- category-1 open-water melt (:469-540) ---
+    g0, g1, hL, hR = _fit_line(aicen[0], hicen_init[0], hbnew[0],
+                               jnp.full(B, hmax[1], dtype))
+    dh0 = dhicen[0]
+    melt1 = remap & (aicen[0] > ct.puny) & (dh0 < 0.0)
+    dh0m = jnp.minimum(-dh0, hmax[1])
+    etamax = jnp.minimum(dh0m, hR) - hL
+    x1 = etamax
+    x2 = 0.5 * etamax * etamax
+    da0 = g1 * x2 + g0 * x1
+    damax = aicen[0] * (1.0 - hicen[0] / jnp.maximum(hicen_init[0], ct.puny))
+    da0 = jnp.minimum(da0, damax)
+    do_melt = melt1 & (etamax > 0.0)
+    new_a1 = jnp.where(do_melt, aicen[0] - da0, aicen[0])
+    hicen0 = jnp.where(do_melt,
+                       hicen[0] * aicen[0] / jnp.maximum(new_a1, ct.puny),
+                       hicen[0])
+    aicen = aicen.at[0].set(new_a1)
+    hicen = hicen.at[0].set(hicen0)
+    # dh0 >= 0: shift lower bound right
+    hbnew[0] = jnp.where(remap & (aicen[0] > ct.puny) & (dh0 >= 0.0),
+                         jnp.minimum(dh0, hmax[1]), hbnew[0])
+
+    # --- fit g(h) in every category with new boundaries (:545-560) ---
+    g0s, g1s, hLs, hRs = [], [], [], []
+    for n in range(ncat):
+        g0, g1, hL, hR = _fit_line(aicen[n], hicen[n], hbnew[n], hbnew[n + 1])
+        g0s.append(g0); g1s.append(g1); hLs.append(hL); hRs.append(hR)
+
+    # --- boundary transfers (:565-648) ---
+    donor = jnp.full((ncat - 1,) + B, -1, jnp.int32)
+    daice = jnp.zeros((ncat - 1,) + B, dtype)
+    dvice = jnp.zeros((ncat - 1,) + B, dtype)
+    for n in range(ncat - 1):
+        up = hbnew[n + 1] > hmax[n + 1]         # transfer n -> n+1
+        etamin = jnp.where(up,
+                           jnp.maximum(hmax[n + 1], hLs[n]) - hLs[n], 0.0)
+        etamax = jnp.where(up,
+                           jnp.minimum(hbnew[n + 1], hRs[n]) - hLs[n],
+                           jnp.minimum(hmax[n + 1], hRs[n + 1]) - hLs[n + 1])
+        nd_lo = up
+        g0d = jnp.where(up, g0s[n], g0s[n + 1])
+        g1d = jnp.where(up, g1s[n], g1s[n + 1])
+        hLd = jnp.where(up, hLs[n], hLs[n + 1])
+        a_nd = jnp.where(up, aicen[n], aicen[n + 1])
+        v_nd = jnp.where(up, vicen[n], vicen[n + 1])
+
+        has = remap & (etamax > etamin)
+        x1 = etamax - etamin
+        wk1 = etamin * etamin
+        wk2 = etamax * etamax
+        x2 = 0.5 * (wk2 - wk1)
+        x3 = (wk2 * etamax - wk1 * etamin) / 3.0
+        da = jnp.where(has, g1d * x2 + g0d * x1, 0.0)
+        dv = jnp.where(has, g1d * x3 + g0d * x2 + da * hLd, 0.0)
+
+        small = (da < a_nd * ct.puny) | (dv < v_nd * ct.puny)
+        da = jnp.where(small, 0.0, da)
+        dv = jnp.where(small, 0.0, dv)
+        has = has & ~small
+        whole = (da > a_nd * (1.0 - ct.puny)) | (dv > v_nd * (1.0 - ct.puny))
+        da = jnp.where(has & whole, a_nd, da)
+        dv = jnp.where(has & whole, v_nd, dv)
+
+        dc = jnp.where(has, jnp.where(nd_lo, n, n + 1), -1).astype(jnp.int32)
+        donor = donor.at[n].set(dc)
+        daice = daice.at[n].set(da)
+        dvice = dvice.at[n].set(dv)
+
+    # maintain qsno negative definiteness across the weighted shift (:655-690)
+    qs0, qs1 = tr.nt_qsno, tr.nt_qsno + nslyr
+    trcrn = trcrn.at[:, qs0:qs1].add(ct.rhos * ct.Lfresh)
+    aicen, vicen, vsnon, trcrn = shift_ice(
+        tr, aicen, vicen, vsnon, trcrn, donor, daice, dvice)
+    trcrn = trcrn.at[:, qs0:qs1].add(-ct.rhos * ct.Lfresh)
+
+    # enforce cat-1 minimum thickness (:697-715)
+    h1 = safe(vicen[0], aicen[0])
+    thin = remap & (aicen[0] > ct.puny) & (h1 < hi_min) & (hi_min > 0)
+    da0 = jnp.where(thin, aicen[0] * (1.0 - h1 / hi_min), 0.0)
+    aicen = aicen.at[0].add(-da0)
+    return aicen, vicen, vsnon, trcrn
+
+
+# ----------------------------------------------------------------------
+# lateral melt (ice_therm_itd.F90:1043-1235)
+# ----------------------------------------------------------------------
+
+class LateralMelt(NamedTuple):
+    aicen: jnp.ndarray
+    vicen: jnp.ndarray
+    vsnon: jnp.ndarray
+    fresh: jnp.ndarray
+    fsalt: jnp.ndarray
+    fhocn: jnp.ndarray
+    meltl: jnp.ndarray
+
+
+def lateral_melt(dt, tr: TracerRegistry, nilyr, nslyr, *, aicen, vicen,
+                 vsnon, trcrn, rside) -> LateralMelt:
+    """Melt fraction rside of every category laterally; tracers unchanged."""
+    r = rside[None]
+    dfresh = jnp.sum((ct.rhos * vsnon + ct.rhoi * vicen) * r, axis=0) / dt
+    dfsalt = jnp.sum(ct.rhoi * vicen * r, axis=0) \
+        * ct.ice_ref_salinity * 0.001 / dt
+    meltl = jnp.sum(vicen * r, axis=0)
+
+    aicen_new = aicen * (1.0 - r)
+    vicen_new = vicen * (1.0 - r)
+    vsnon_new = vsnon * (1.0 - r)
+
+    qice = trcrn[:, tr.nt_qice:tr.nt_qice + nilyr]    # (ncat, nilyr, *B)
+    qsno = trcrn[:, tr.nt_qsno:tr.nt_qsno + nslyr]
+    # note: reference uses post-melt volumes here (vicen already scaled)
+    fhocn = (jnp.sum(jnp.sum(qice, axis=1) * vicen_new / nilyr * r, axis=0)
+             + jnp.sum(jnp.sum(qsno, axis=1) * vsnon_new / nslyr * r,
+                       axis=0)) / dt
+    return LateralMelt(aicen=aicen_new, vicen=vicen_new, vsnon=vsnon_new,
+                       fresh=dfresh, fsalt=dfsalt, fhocn=fhocn, meltl=meltl)
+
+
+# ----------------------------------------------------------------------
+# add_new_ice (ice_therm_itd.F90:1239-1860), ktherm != 2 path
+# ----------------------------------------------------------------------
+
+class NewIce(NamedTuple):
+    aicen: jnp.ndarray
+    vicen: jnp.ndarray
+    trcrn: jnp.ndarray
+    frazil: jnp.ndarray
+
+
+def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
+                trcrn, aice, aice0, frzmlt, Tf, salinz,
+                tr_FY=False, tr_lvl=False, tr_iage=False) -> NewIce:
+    """Frazil formation: convert positive freezing potential into new ice
+    in category 1 (or spread over categories when open water is scarce)."""
+    ncat = aicen.shape[0]
+    B = aicen.shape[1:]
+    hi0max = hin_max[1] * 0.9 if ncat > 1 else ct.bignum
+
+    qi0new = -ct.rhoi * ct.Lfresh
+    fnew = jnp.maximum(frzmlt, 0.0)
+    vi0new = -fnew * dt / qi0new
+    frazil = vi0new
+
+    grow = vi0new > 0.0
+    open_w = aice0 > ct.puny
+    hi0new = jnp.maximum(vi0new / jnp.maximum(aice0, ct.puny), ct.hfrazilmin)
+    too_thick = (hi0new > hi0max) & (aice0 + ct.puny < 1.0)
+
+    # case A: open water, fits in cat 1
+    ai_A = vi0new / jnp.maximum(hi0new, ct.puny)
+    # case B: open water but too thick: fill open water at hi0max, spread rest
+    ai_B = aice0
+    vi_B = ai_B * hi0max
+    hsurp_B = (vi0new - vi_B) / jnp.maximum(aice, ct.puny)
+    # case C: no open water: spread everything
+    hsurp_C = vi0new / jnp.maximum(aice, ct.puny)
+
+    ai0new = jnp.where(grow & open_w, jnp.where(too_thick, ai_B, ai_A), 0.0)
+    vi0n = jnp.where(grow & open_w, jnp.where(too_thick, vi_B, vi0new), 0.0)
+    hsurp = jnp.where(grow,
+                      jnp.where(open_w, jnp.where(too_thick, hsurp_B, 0.0),
+                                hsurp_C), 0.0)
+
+    # --- distribute hsurp over all categories, area unchanged (:1612-1690)
+    has_surp = hsurp > ct.puny
+    vsurp = hsurp[None] * aicen                       # (ncat, *B)
+    vtmp = vicen + jnp.where(has_surp[None], vsurp, 0.0)
+    ratio_old = jnp.where(vtmp > 0.0, vicen / jnp.maximum(vtmp, 1e-30), 1.0)
+    ratio_new = jnp.where(vtmp > 0.0, vsurp / jnp.maximum(vtmp, 1e-30), 0.0)
+    q0 = tr.nt_qice
+    s0 = tr.nt_sice
+    for k in range(nilyr):
+        trcrn = trcrn.at[:, q0 + k].set(jnp.where(
+            has_surp[None], trcrn[:, q0 + k] * ratio_old + qi0new * ratio_new,
+            trcrn[:, q0 + k]))
+        trcrn = trcrn.at[:, s0 + k].set(jnp.where(
+            has_surp[None],
+            trcrn[:, s0 + k] * ratio_old + salinz[k] * ratio_new,
+            trcrn[:, s0 + k]))
+    if tr_iage:
+        trcrn = trcrn.at[:, tr.nt_iage].set(jnp.where(
+            has_surp[None] & (vtmp > ct.puny),
+            (trcrn[:, tr.nt_iage] * vicen + dt * vsurp)
+            / jnp.maximum(vtmp, ct.puny), trcrn[:, tr.nt_iage]))
+    if tr_lvl:
+        trcrn = trcrn.at[:, tr.nt_vlvl].set(jnp.where(
+            has_surp[None] & (vicen > ct.puny),
+            (trcrn[:, tr.nt_vlvl] * vicen + trcrn[:, tr.nt_alvl] * vsurp)
+            / jnp.maximum(vtmp, ct.puny), trcrn[:, tr.nt_vlvl]))
+    vicen = jnp.where(has_surp[None], vtmp, vicen)
+
+    # --- add vi0n/ai0new to category 1 (:1697-1800) ---
+    add1 = vi0n > 0.0
+    area1 = aicen[0]
+    vice1 = vicen[0]
+    a1new = jnp.where(add1, area1 + ai0new, area1)
+    v1new = jnp.where(add1, vice1 + vi0n, vice1)
+    aicen = aicen.at[0].set(a1new)
+    vicen = vicen.at[0].set(v1new)
+
+    def mixA(val, newval):   # area-weighted mix into cat 1
+        return jnp.where(add1, (val * area1 + newval * ai0new)
+                         / jnp.maximum(a1new, ct.puny), val)
+
+    def mixV(val, newval):   # volume-weighted mix into cat 1
+        return jnp.where(add1 & (v1new > ct.puny),
+                         (val * vice1 + newval * vi0n)
+                         / jnp.maximum(v1new, ct.puny), val)
+
+    trcrn = trcrn.at[0, tr.nt_Tsfc].set(
+        jnp.minimum(mixA(trcrn[0, tr.nt_Tsfc], Tf), 0.0))
+    if tr_FY:
+        trcrn = trcrn.at[0, tr.nt_FY].set(
+            jnp.minimum(mixA(trcrn[0, tr.nt_FY], 1.0), 1.0))
+    if tr_iage:
+        trcrn = trcrn.at[0, tr.nt_iage].set(
+            mixV(trcrn[0, tr.nt_iage], dt))
+    if tr_lvl:
+        trcrn = trcrn.at[0, tr.nt_alvl].set(
+            mixA(trcrn[0, tr.nt_alvl], 1.0))
+        trcrn = trcrn.at[0, tr.nt_vlvl].set(
+            mixV(trcrn[0, tr.nt_vlvl], 1.0))
+    for k in range(nilyr):
+        trcrn = trcrn.at[0, q0 + k].set(mixV(trcrn[0, q0 + k], qi0new))
+        trcrn = trcrn.at[0, s0 + k].set(mixV(trcrn[0, s0 + k], salinz[k]))
+
+    return NewIce(aicen=aicen, vicen=vicen, trcrn=trcrn, frazil=frazil)
+
+
+# ----------------------------------------------------------------------
+# zap + cleanup (ice_itd.F90:1514-2270)
+# ----------------------------------------------------------------------
+
+class Cleanup(NamedTuple):
+    aicen: jnp.ndarray
+    vicen: jnp.ndarray
+    vsnon: jnp.ndarray
+    trcrn: jnp.ndarray
+    dfresh: jnp.ndarray
+    dfsalt: jnp.ndarray
+    dfhocn: jnp.ndarray
+
+
+def zap_small_areas(dt, tr: TracerRegistry, nilyr, nslyr, *, aicen, vicen,
+                    vsnon, trcrn) -> Cleanup:
+    """Zap categories with 0 < aicen <= puny, returning melt water/salt/heat
+    to the ocean (ice_itd.F90:1778-2166), and renormalize aice > 1."""
+    zap = (jnp.abs(aicen) <= ct.puny) & (jnp.abs(aicen) != 0.0)
+    qice = trcrn[:, tr.nt_qice:tr.nt_qice + nilyr]
+    qsno = trcrn[:, tr.nt_qsno:tr.nt_qsno + nslyr]
+
+    dfhocn = jnp.sum(jnp.where(zap[:, None],
+                               qice * vicen[:, None] / nilyr, 0.0),
+                     axis=(0, 1)) / dt
+    dfhocn = dfhocn + jnp.sum(jnp.where(zap[:, None],
+                                        qsno * vsnon[:, None] / nslyr, 0.0),
+                              axis=(0, 1)) / dt
+    dfresh = jnp.sum(jnp.where(zap, ct.rhoi * vicen + ct.rhos * vsnon, 0.0),
+                     axis=0) / dt
+    dfsalt = jnp.sum(jnp.where(zap, ct.rhoi * vicen, 0.0), axis=0) \
+        * ct.ice_ref_salinity * 0.001 / dt
+
+    aicen = jnp.where(zap, 0.0, aicen)
+    vicen = jnp.where(zap, 0.0, vicen)
+    vsnon = jnp.where(zap, 0.0, vsnon)
+    # reset tracers of zapped categories
+    tvals = []
+    for it in range(tr.ntrcr):
+        if it == tr.nt_Tsfc:
+            tvals.append(jnp.where(zap, ct.Tocnfrz, trcrn[:, it]))
+        elif it == tr.nt_fbri:
+            tvals.append(jnp.where(zap, 1.0, trcrn[:, it]))
+        else:
+            tvals.append(jnp.where(zap, 0.0, trcrn[:, it]))
+    trcrn = jnp.stack(tvals, axis=1)
+
+    # renormalize aice in (1, 1+puny]
+    aice = jnp.sum(aicen, axis=0)
+    over = aice > 1.0
+    scale = jnp.where(over, 1.0 / jnp.maximum(aice, 1.0), 1.0)
+    dfresh = dfresh + jnp.sum(
+        (ct.rhoi * vicen + ct.rhos * vsnon) * (1.0 - scale)[None],
+        axis=0) / dt
+    dfsalt = dfsalt + jnp.sum(ct.rhoi * vicen * (1.0 - scale)[None],
+                              axis=0) * ct.ice_ref_salinity * 0.001 / dt
+    dfhocn = dfhocn + (jnp.sum(jnp.sum(qice, axis=1) * vicen / nilyr, axis=0)
+                       + jnp.sum(jnp.sum(qsno, axis=1) * vsnon / nslyr,
+                                 axis=0)) * (1.0 - scale) / dt
+    aicen = aicen * scale[None]
+    vicen = vicen * scale[None]
+    vsnon = vsnon * scale[None]
+
+    return Cleanup(aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
+                   dfresh=dfresh, dfsalt=dfsalt, dfhocn=dfhocn)
+
+
+def cleanup_itd(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
+                vicen, vsnon, trcrn) -> Cleanup:
+    """rebin + zap (ice_itd.F90:1514-1769 cleanup_itd)."""
+    aicen, vicen, vsnon, trcrn = rebin(tr, hin_max, aicen, vicen, vsnon,
+                                       trcrn)
+    return zap_small_areas(dt, tr, nilyr, nslyr, aicen=aicen, vicen=vicen,
+                           vsnon=vsnon, trcrn=trcrn)
