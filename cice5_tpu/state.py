@@ -142,6 +142,9 @@ class State:
     stressm: jnp.ndarray
     stress12: jnp.ndarray
     scale_factor: jnp.ndarray   # shortwave scaling accumulator (ny, nx)
+    iceumask: jnp.ndarray       # U-cell ice mask from previous dynamics step
+                                # (float 0/1; in reference restart,
+                                # ice_restart_driver.F90:121)
     # slab-ocean prognostic SST (used when forcing.oceanmixed_ice); carried
     # always so the pytree structure is config-independent at this level.
     sst: jnp.ndarray
@@ -172,5 +175,6 @@ def zeros_state(cfg: ModelConfig, tr: TracerRegistry) -> State:
         stressm=jnp.zeros((4, ny, nx), dt_),
         stress12=jnp.zeros((4, ny, nx), dt_),
         scale_factor=z2(),
+        iceumask=z2(),
         sst=z2(),
     )

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from cice5_tpu import ModelConfig, build_tracer_registry, column_config
 from cice5_tpu.calendar import Calendar
@@ -75,7 +75,7 @@ class TestHalo:
             return shard_map(
                 lambda xl: extend(xl, topo),
                 mesh=mesh, in_specs=P("Y", "X"),
-                out_specs=P("Y", "X"), check_rep=False)(x)
+                out_specs=P("Y", "X"), check_vma=False)(x)
 
         out = run(f)
         # sharded result has per-shard ghost rings; compare interiors and
