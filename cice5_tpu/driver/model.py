@@ -1,0 +1,144 @@
+"""Model container: initialization + run loop.
+
+Equivalent of the reference standalone driver
+(/root/reference/drivers/cice/CICE_InitMod.F90:52 cice_init,
+CICE_RunMod.F90:37 CICE_Run) and default initial conditions
+(ice_init.F90:1475 set_state_var): builds grid/registry/static tables,
+initializes the state (ice at cold high latitudes with a parabolic ITD
+centered on hbar=3 m), and steps the jitted step function.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cice5_tpu import constants as ct
+from cice5_tpu.calendar import Calendar
+from cice5_tpu.config import ModelConfig
+from cice5_tpu.driver.step import step as step_fn
+from cice5_tpu.forcing import Forcing, idealized_polar_forcing
+from cice5_tpu.grid import Grid, make_grid
+from cice5_tpu.models.thermo import itd, shared as thshared
+from cice5_tpu.parallel import Topology
+from cice5_tpu.state import State, build_tracer_registry, zeros_state
+
+EDGE_INIT_NH = 70.0
+EDGE_INIT_SH = -60.0
+HSNO_INIT = 0.20
+
+
+def initial_itd(cfg: ModelConfig, hin_max):
+    """Parabolic initial category areas/thicknesses
+    (ice_init.F90:1617-1635)."""
+    hbar = 3.0
+    hinit = np.zeros(cfg.ncat)
+    ainit = np.zeros(cfg.ncat)
+    for n in range(cfg.ncat):
+        if n < cfg.ncat - 1:
+            hinit[n] = 0.5 * (hin_max[n] + hin_max[n + 1])
+        else:
+            hinit[n] = hin_max[n] + 1.0
+        ainit[n] = max(0.0, 2.0 * hbar * hinit[n] - hinit[n] ** 2)
+    ainit /= ainit.sum() + ct.puny / cfg.ncat
+    return ainit, hinit
+
+
+def init_state(cfg: ModelConfig, grid: Grid, tr, hin_max, salinz,
+               Tair=None, sst=None, ice_mask=None) -> State:
+    """Default initial state (ice_init.F90:1475-1813 set_state_var)."""
+    ny, nx = grid.shape
+    dtype = cfg.xp_dtype
+    st = zeros_state(cfg, tr)
+    sss = 34.0
+    Tf = -ct.depressT * sss
+
+    ulat_deg = np.rad2deg(np.asarray(grid.ULAT))
+    tmask = np.asarray(grid.tmask)
+    if ice_mask is None:
+        ice_mask = tmask & ((ulat_deg > EDGE_INIT_NH)
+                            | (ulat_deg < EDGE_INIT_SH))
+    msk = jnp.asarray(ice_mask)
+
+    ainit, hinit = initial_itd(cfg, hin_max)
+    ones = jnp.ones((cfg.ncat, ny, nx), dtype)
+    aicen = jnp.where(msk[None],
+                      jnp.asarray(ainit, dtype)[:, None, None] * ones, 0.0)
+    vicen = jnp.where(msk[None],
+                      jnp.asarray(ainit * hinit, dtype)[:, None, None] * ones,
+                      0.0)
+    vsnon = jnp.minimum(aicen * HSNO_INIT, 0.2 * vicen)
+
+    TairC = (Tair - ct.Tffresh) if Tair is not None else -15.0
+    Tsfc0 = jnp.minimum(ct.Tsmelt, TairC)
+    trcrn = st.trcrn
+    trcrn = trcrn.at[:, tr.nt_Tsfc].set(
+        jnp.where(msk[None], Tsfc0, Tf))
+    sal = jnp.asarray(salinz, dtype)
+    Tmltz = -sal * ct.depressT
+    # linear temperature profile between Tsfc and Tf, converted to enthalpy
+    for k in range(cfg.nilyr):
+        zfrac = (k + 0.5) / cfg.nilyr
+        Ti = jnp.minimum(Tsfc0 + (Tf - Tsfc0) * zfrac, Tmltz[k] - 0.1)
+        qk = thshared.ice_enthalpy(Ti, Tmltz[k])
+        trcrn = trcrn.at[:, tr.nt_qice + k].set(jnp.where(msk[None], qk, 0.0))
+        trcrn = trcrn.at[:, tr.nt_sice + k].set(
+            jnp.where(msk[None], sal[k], 0.0))
+    qs = thshared.snow_enthalpy(jnp.minimum(Tsfc0, -1.0))
+    for k in range(cfg.nslyr):
+        trcrn = trcrn.at[:, tr.nt_qsno + k].set(
+            jnp.where(msk[None], qs, -ct.rhos * ct.Lfresh))
+    if tr.nt_alvl >= 0:
+        trcrn = trcrn.at[:, tr.nt_alvl].set(jnp.where(msk[None], 1.0, 0.0))
+        trcrn = trcrn.at[:, tr.nt_vlvl].set(jnp.where(msk[None], 1.0, 0.0))
+    if tr.nt_fbri >= 0:
+        trcrn = trcrn.at[:, tr.nt_fbri].set(1.0)
+
+    sst0 = jnp.full((ny, nx), Tf, dtype) if sst is None else sst
+    return st.replace(aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
+                      sst=sst0 * jnp.asarray(np.asarray(tmask), dtype))
+
+
+@dataclass
+class Model:
+    """Convenience driver for standalone runs."""
+    cfg: ModelConfig
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.grid = make_grid(cfg)
+        self.tr = build_tracer_registry(cfg)
+        self.hin_max = itd.category_bounds(cfg.ncat, cfg.kitd, cfg.kcatbound)
+        self.salinz = thshared.salinity_profile(cfg.nilyr, cfg.thermo.saltmax,
+                                                cfg.thermo.nsal,
+                                                cfg.thermo.msal)
+        self.topo = Topology(ew=cfg.grid.ew_boundary, ns=cfg.grid.ns_boundary)
+        self.calendar = Calendar(cfg.time.year_init, cfg.time.days_per_year,
+                                 cfg.time.use_leap_years)
+        self._jstep = jax.jit(partial(
+            step_fn, cfg=cfg, tr=self.tr, topo=self.topo,
+            hin_max=self.hin_max, salinz=self.salinz))
+
+    def init_state(self, **kw) -> State:
+        return init_state(self.cfg, self.grid, self.tr, self.hin_max,
+                          self.salinz, **kw)
+
+    def forcing_at(self, istep: int) -> Forcing:
+        info = self.calendar.info(istep, self.cfg.time.dt)
+        return idealized_polar_forcing(self.grid.shape, info.yday,
+                                       dtype=self.cfg.xp_dtype)
+
+    def step(self, state: State, forcing: Forcing):
+        return self._jstep(state, forcing, self.grid)
+
+    def run(self, state: State, nsteps: int, start_step: int = 0,
+            diag_every: int = 0, diag_fn=None):
+        for k in range(nsteps):
+            forcing = self.forcing_at(start_step + k)
+            state, diag = self.step(state, forcing)
+            if diag_fn is not None and diag_every and (k % diag_every == 0):
+                diag_fn(start_step + k, state, diag)
+        return state

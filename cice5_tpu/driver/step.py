@@ -1,0 +1,346 @@
+"""One model time step: the full thermodynamics + dynamics orchestration.
+
+TPU-native re-expression of /root/reference/source/ice_step_mod.F90 and the
+standalone driver loop (drivers/cice/CICE_RunMod.F90:107-267 ice_step +
+coupling_prep): radiation, ocean mixed layer, per-category vertical
+thermodynamics, ITD evolution (linear remap, frazil, lateral melt, cleanup),
+EVP dynamics + transport + ridging, and flux aggregation for
+coupling/diagnostics — as ONE pure jittable function
+``step(state, forcing, grid, ...) -> (state, diag)``.
+
+Category parallelism: the reference's OMP block loop over per-category
+subroutine calls becomes ``jax.vmap`` over the leading ncat axis of the
+column physics. Spatial parallelism: every halo-touching operator takes the
+Topology and works identically under single-device jit and shard_map.
+
+Deliberate deviation from the reference's ordering (documented): radiation is
+computed at the START of the step from the current state and forcing, instead
+of at the end of the previous step rescaled by prep_radiation
+(ice_step_mod.F90:33-154). For standalone forcing the two are equivalent up
+to the one-step albedo lag the reference accepts for coupler symmetry;
+scale_factor is carried in State so the coupled path can restore the
+reference ordering later.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cice5_tpu import constants as ct
+from cice5_tpu.config import ModelConfig
+from cice5_tpu.forcing import Forcing
+from cice5_tpu.grid import Grid
+from cice5_tpu.models import atmo, ocean
+from cice5_tpu.models.dynamics import shared as dyn
+from cice5_tpu.models.dynamics.evp import evp
+from cice5_tpu.models.dynamics.ridge import ridge_ice
+from cice5_tpu.models.dynamics.strength import (strength_hibler,
+                                                strength_rothrock)
+from cice5_tpu.models.radiation.ccsm3 import shortwave_ccsm3
+from cice5_tpu.models.thermo import itd, shared as thshared, vertical
+from cice5_tpu.models.transport.upwind import transport_upwind
+from cice5_tpu.parallel import Topology
+from cice5_tpu.state import State, TracerRegistry
+
+
+class StepDiag(NamedTuple):
+    """Cell-mean fluxes and diagnostics from one step (the merge_fluxes /
+    runtime_diags surface, ice_flux.F90:681)."""
+    aice: jnp.ndarray
+    vice: jnp.ndarray
+    vsno: jnp.ndarray
+    fsens: jnp.ndarray
+    flat: jnp.ndarray
+    flwout: jnp.ndarray
+    evap: jnp.ndarray
+    fresh: jnp.ndarray
+    fsalt: jnp.ndarray
+    fhocn: jnp.ndarray
+    fswthru: jnp.ndarray
+    fswabs: jnp.ndarray
+    strairxT: jnp.ndarray
+    strairyT: jnp.ndarray
+    meltt: jnp.ndarray
+    melts: jnp.ndarray
+    meltb: jnp.ndarray
+    meltl: jnp.ndarray
+    congel: jnp.ndarray
+    snoice: jnp.ndarray
+    frazil: jnp.ndarray
+    frzmlt: jnp.ndarray
+    dardg1dt: jnp.ndarray
+    dvirdgdt: jnp.ndarray
+    divu: jnp.ndarray
+    shear: jnp.ndarray
+    alvdr: jnp.ndarray    # cell-mean albedos (incl. open water)
+    alidf: jnp.ndarray
+    Tsfc: jnp.ndarray     # cell-mean surface temperature
+    therm_converged: jnp.ndarray
+    ferr_max: jnp.ndarray
+
+
+def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
+         tr: TracerRegistry, topo: Topology, hin_max,
+         salinz) -> tuple[State, StepDiag]:
+    """Advance the sea-ice state by one thermo step (cfg.time.dt)."""
+    dt = cfg.time.dt
+    ncat, nilyr, nslyr = cfg.ncat, cfg.nilyr, cfg.nslyr
+    ny, nx = grid.shape
+    dtype = state.aicen.dtype
+    tmask = grid.tmask
+
+    aicen, vicen, vsnon, trcrn = (state.aicen, state.vicen, state.vsnon,
+                                  state.trcrn)
+    Tsfcn = trcrn[:, tr.nt_Tsfc]
+    zqin = trcrn[:, tr.nt_qice:tr.nt_qice + nilyr]
+    zSin = trcrn[:, tr.nt_sice:tr.nt_sice + nilyr]
+    zqsn = trcrn[:, tr.nt_qsno:tr.nt_qsno + nslyr]
+
+    agg0 = itd.aggregate(tr, aicen, vicen, vsnon, trcrn)
+    aice = agg0.aice
+
+    Tf = forcing.Tf
+    sst = state.sst if cfg.forcing.oceanmixed_ice else forcing.sst
+    sst = jnp.maximum(sst, Tf)
+
+    # ---------------- radiation (CCSM3), per category via vmap ----------
+    sw = cfg.shortwave
+
+    def rad_one(aic, vic, vsn, tsf):
+        return shortwave_ccsm3(
+            aic, vic, vsn, tsf, forcing.swvdr, forcing.swvdf,
+            forcing.swidr, forcing.swidf, nilyr=nilyr,
+            albedo_type=sw.albedo_type, albicev=sw.albicev,
+            albicei=sw.albicei, albsnowv=sw.albsnowv, albsnowi=sw.albsnowi,
+            ahmax=sw.ahmax, heat_capacity=cfg.thermo.ktherm != 0)
+
+    alb, absr = jax.vmap(rad_one)(aicen, vicen, vsnon, Tsfcn)
+    Sswabsn = jnp.zeros((ncat, nslyr, ny, nx), dtype)
+
+    # ---------------- bottom flux & lateral melt potential --------------
+    frzmlt = state.frzmlt if cfg.forcing.oceanmixed_ice else forcing.frzmlt
+    qicen_tot = jnp.sum(zqin, axis=1) * vicen / nilyr      # (ncat, ny, nx)
+    qsnon_tot = jnp.sum(zqsn, axis=1) * vsnon / nslyr
+    Tbot, fbot, rside = vertical.frzmlt_bottom_lateral(
+        dt, aice, frzmlt, vicen, vsnon, qicen_tot, qsnon_tot, sst, Tf,
+        state.strocnxT, state.strocnyT, ustar_min=cfg.thermo.ustar_min)
+
+    # ---------------- per-category ABL + vertical thermo (vmap) ---------
+    def therm_one(aic, vic, vsn, tsf, zqi, zqs, zsi, fswsfc, fswint, Iswabs,
+                  Sswabs):
+        if cfg.forcing.atmbndy == "constant":
+            abl = atmo.atmo_boundary_const(
+                sfctype="ice", Tsf=tsf, potT=forcing.potT, uatm=forcing.uatm,
+                vatm=forcing.vatm, wind=forcing.wind, Qa=forcing.Qa,
+                rhoa=forcing.rhoa)
+        else:
+            abl = atmo.atmo_boundary_layer(
+                sfctype="ice", Tsf=tsf, potT=forcing.potT, uatm=forcing.uatm,
+                vatm=forcing.vatm, wind=forcing.wind, zlvl=forcing.zlvl,
+                Qa=forcing.Qa, rhoa=forcing.rhoa,
+                natmiter=cfg.forcing.natmiter)
+        res = vertical.thermo_vertical(
+            dt, cfg, aicen=aic, vicen=vic, vsnon=vsn, Tsfcn=tsf,
+            zqin=zqi, zqsn=zqs, zSin=zsi,
+            flw=forcing.flw, potT=forcing.potT, Qa=forcing.Qa,
+            rhoa=forcing.rhoa, fsnow=forcing.fsnow,
+            shcoef=abl.shcoef, lhcoef=abl.lhcoef,
+            fswsfc=fswsfc, fswint=fswint, Sswabs=Sswabs, Iswabs=Iswabs,
+            fbot=fbot, Tbot=Tbot, sss=forcing.sss)
+        return res, abl.strx, abl.stry
+
+    tres, strairxn, strairyn = jax.vmap(therm_one)(
+        aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
+        absr.fswsfc, absr.fswint, absr.Iswabs, Sswabsn)
+
+    # merge per-category fluxes with pre-thermo areas (merge_fluxes,
+    # ice_flux.F90:681; thermo does not change aicen except melt-out)
+    w = aicen
+    mrg = lambda x: jnp.sum(w * x, axis=0)
+    fsens = mrg(tres.fsensn)
+    flat = mrg(tres.flatn)
+    flwout = mrg(tres.flwoutn)
+    evap = mrg(tres.evapn)
+    fresh = mrg(tres.freshn)
+    fsalt = mrg(tres.fsaltn)
+    fhocn = mrg(tres.fhocnn)
+    fswthru = mrg(absr.fswthru)
+    fswabs = mrg(absr.fswsfc + absr.fswint + absr.fswthru)
+    strairxT = mrg(strairxn)      # stress weighted by ice area
+    strairyT = mrg(strairyn)
+    meltt = mrg(tres.meltt)
+    melts = mrg(tres.melts)
+    meltb = mrg(tres.meltb)
+    congel = mrg(tres.congel)
+    snoice = mrg(tres.snoice)
+
+    aicen = tres.aicen
+    vicen = tres.vicen
+    vsnon = tres.vsnon
+    trcrn = trcrn.at[:, tr.nt_Tsfc].set(tres.Tsf)
+    trcrn = trcrn.at[:, tr.nt_qice:tr.nt_qice + nilyr].set(tres.zqin)
+    trcrn = trcrn.at[:, tr.nt_qsno:tr.nt_qsno + nslyr].set(tres.zqsn)
+
+    # ---------------- step_therm2: ITD evolution -------------------------
+    aicen_init_itd = state.aicen       # pre-thermo, for linear_itd
+    vicen_init_itd = state.vicen
+    if cfg.kitd == 1:
+        aicen, vicen, vsnon, trcrn = itd.linear_itd(
+            tr, hin_max, nslyr, aicen_init=aicen_init_itd,
+            vicen_init=vicen_init_itd, aicen=aicen, vicen=vicen,
+            vsnon=vsnon, trcrn=trcrn)
+
+    agg1 = itd.aggregate(tr, aicen, vicen, vsnon, trcrn)
+    nir = itd.add_new_ice(dt, tr, hin_max, nilyr, aicen=aicen, vicen=vicen,
+                          trcrn=trcrn, aice=agg1.aice, aice0=agg1.aice0,
+                          frzmlt=frzmlt, Tf=Tf, salinz=salinz,
+                          tr_FY=cfg.tracers.tr_FY, tr_lvl=cfg.tracers.tr_lvl,
+                          tr_iage=cfg.tracers.tr_iage)
+    aicen, vicen, trcrn = nir.aicen, nir.vicen, nir.trcrn
+    frazil = nir.frazil
+
+    lm = itd.lateral_melt(dt, tr, nilyr, nslyr, aicen=aicen, vicen=vicen,
+                          vsnon=vsnon, trcrn=trcrn, rside=rside)
+    aicen, vicen, vsnon = lm.aicen, lm.vicen, lm.vsnon
+    fresh = fresh + lm.fresh
+    fsalt = fsalt + lm.fsalt
+    fhocn = fhocn + lm.fhocn
+    meltl = lm.meltl
+
+    cl = itd.cleanup_itd(dt, tr, hin_max, nilyr, nslyr, aicen=aicen,
+                         vicen=vicen, vsnon=vsnon, trcrn=trcrn)
+    aicen, vicen, vsnon, trcrn = cl.aicen, cl.vicen, cl.vsnon, cl.trcrn
+    fresh = fresh + cl.dfresh
+    fsalt = fsalt + cl.dfsalt
+    fhocn = fhocn + cl.dfhocn
+
+    # land mask enforcement
+    aicen = jnp.where(tmask[None], aicen, 0.0)
+    vicen = jnp.where(tmask[None], vicen, 0.0)
+    vsnon = jnp.where(tmask[None], vsnon, 0.0)
+
+    # ---------------- dynamics: EVP + transport + ridging ---------------
+    uvel, vvel = state.uvel, state.vvel
+    stressp, stressm, stress12 = state.stressp, state.stressm, state.stress12
+    iceumask = state.iceumask
+    strocnxT, strocnyT = state.strocnxT, state.strocnyT
+    divu = jnp.zeros((ny, nx), dtype)
+    shear_d = jnp.zeros((ny, nx), dtype)
+    dardg1dt = jnp.zeros((ny, nx), dtype)
+    dvirdgdt = jnp.zeros((ny, nx), dtype)
+
+    if cfg.dyn.kdyn >= 1:
+        dt_dyn = dt / cfg.time.ndtd
+        p = dyn.EVPParams.classic(dt_dyn, cfg.dyn.ndte, cosw=cfg.dyn.cosw,
+                                  sinw=cfg.dyn.sinw)
+        for _ in range(cfg.time.ndtd):
+            agg = itd.aggregate(tr, aicen, vicen, vsnon, trcrn)
+            if cfg.dyn.kstrength == 1:
+                strength = strength_rothrock(
+                    aicen, vicen, agg.aice0, hin_max=hin_max,
+                    krdg_partic=cfg.dyn.krdg_partic,
+                    krdg_redist=cfg.dyn.krdg_redist, mu_rdg=cfg.dyn.mu_rdg,
+                    Cf=cfg.dyn.Cf)
+            else:
+                strength = strength_hibler(agg.aice, agg.vice,
+                                           Pstar=cfg.dyn.Pstar,
+                                           Cstar=cfg.dyn.Cstar)
+            ev = evp(dt_dyn, p, grid, topo, aice=agg.aice, vice=agg.vice,
+                     vsno=agg.vsno, strength=strength, strairxT=strairxT,
+                     strairyT=strairyT, uocn=forcing.uocn, vocn=forcing.vocn,
+                     uvel=uvel, vvel=vvel, stressp=stressp, stressm=stressm,
+                     stress12=stress12, iceumask=iceumask)
+            uvel, vvel = ev.uvel, ev.vvel
+            stressp, stressm, stress12 = ev.stressp, ev.stressm, ev.stress12
+            iceumask = ev.iceumask
+            strocnxT, strocnyT = ev.strocnxT, ev.strocnyT
+            divu, shear_d = ev.divu, ev.shear
+
+            if cfg.dyn.advection == "upwind":
+                aice0_t = jnp.maximum(1.0 - jnp.sum(aicen, 0), 0.0) * grid.hm
+                aicen, vicen, vsnon, trcrn, aice0_t = transport_upwind(
+                    dt_dyn, grid, topo, tr, uvel=uvel, vvel=vvel,
+                    aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
+                    aice0=aice0_t)
+            elif cfg.dyn.advection == "remap":
+                from cice5_tpu.models.transport.remap import transport_remap
+                aicen, vicen, vsnon, trcrn = transport_remap(
+                    dt_dyn, grid, topo, tr, uvel=uvel, vvel=vvel,
+                    aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn)
+
+            # ridging
+            aice0_r = jnp.maximum(1.0 - jnp.sum(aicen, 0), 0.0) * grid.hm
+            rr = ridge_ice(dt_dyn, tr, hin_max, nilyr, nslyr, aicen=aicen,
+                           vicen=vicen, vsnon=vsnon, trcrn=trcrn,
+                           aice0=aice0_r, rdg_conv=ev.rdg_conv,
+                           rdg_shear=ev.rdg_shear,
+                           krdg_partic=cfg.dyn.krdg_partic,
+                           krdg_redist=cfg.dyn.krdg_redist,
+                           mu_rdg=cfg.dyn.mu_rdg, ndtd=cfg.time.ndtd)
+            aicen, vicen, vsnon, trcrn = rr.aicen, rr.vicen, rr.vsnon, rr.trcrn
+            fresh = fresh + rr.fresh
+            fhocn = fhocn + rr.fhocn
+            dardg1dt = dardg1dt + rr.dardg1dt
+            dvirdgdt = dvirdgdt + rr.dvirdgdt
+
+            cl2 = itd.cleanup_itd(dt_dyn, tr, hin_max, nilyr, nslyr,
+                                  aicen=aicen, vicen=vicen, vsnon=vsnon,
+                                  trcrn=trcrn)
+            aicen, vicen, vsnon, trcrn = (cl2.aicen, cl2.vicen, cl2.vsnon,
+                                          cl2.trcrn)
+            fresh = fresh + cl2.dfresh
+            fsalt = fsalt + cl2.dfsalt
+            fhocn = fhocn + cl2.dfhocn
+
+    # ---------------- coupling prep: slab ocean update -------------------
+    aggf = itd.aggregate(tr, aicen, vicen, vsnon, trcrn)
+    if cfg.forcing.oceanmixed_ice:
+        ml = ocean.ocean_mixed_layer(
+            dt, sst=sst, Tf=Tf, hmix=forcing.hmix, qdp=forcing.qdp,
+            aice=aggf.aice, fhocn=fhocn, fswthru=fswthru,
+            uatm=forcing.uatm, vatm=forcing.vatm, wind=forcing.wind,
+            zlvl=forcing.zlvl, potT=forcing.potT, Qa=forcing.Qa,
+            rhoa=forcing.rhoa, flw=forcing.flw, swvdr=forcing.swvdr,
+            swvdf=forcing.swvdf, swidr=forcing.swidr, swidf=forcing.swidf,
+            tmask=tmask, atmbndy=cfg.forcing.atmbndy,
+            natmiter=cfg.forcing.natmiter)
+        sst_new = ml.sst
+        frzmlt_out = ml.frzmlt
+    else:
+        sst_new = sst
+        frzmlt_out = forcing.frzmlt
+
+    # cell-mean albedos incl. open water (coupling_prep, CICE_RunMod.F90:269)
+    alvdr = (jnp.sum(aicen * alb.alvdrn, axis=0)
+             + aggf.aice0 * ct.albocn)
+    alidf = (jnp.sum(aicen * alb.alidfn, axis=0)
+             + aggf.aice0 * ct.albocn)
+    # net absorbed SW for next step's scale_factor (coupled mode)
+    scale_factor = (
+        forcing.swvdr * (1.0 - alvdr) + forcing.swvdf * (1.0 - alvdr)
+        + forcing.swidr * (1.0 - alidf) + forcing.swidf * (1.0 - alidf))
+
+    new_state = state.replace(
+        aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
+        uvel=uvel, vvel=vvel, stressp=stressp, stressm=stressm,
+        stress12=stress12, iceumask=iceumask, strocnxT=strocnxT,
+        strocnyT=strocnyT, frzmlt=frzmlt_out, scale_factor=scale_factor,
+        sst=sst_new)
+
+    diag = StepDiag(
+        aice=aggf.aice, vice=aggf.vice, vsno=aggf.vsno,
+        fsens=fsens, flat=flat, flwout=flwout, evap=evap, fresh=fresh,
+        fsalt=fsalt, fhocn=fhocn, fswthru=fswthru, fswabs=fswabs,
+        strairxT=strairxT, strairyT=strairyT,
+        meltt=meltt, melts=melts, meltb=meltb, meltl=meltl, congel=congel,
+        snoice=snoice, frazil=frazil, frzmlt=frzmlt_out,
+        dardg1dt=dardg1dt, dvirdgdt=dvirdgdt, divu=divu, shear=shear_d,
+        alvdr=alvdr, alidf=alidf, Tsfc=aggf.trcr[tr.nt_Tsfc],
+        therm_converged=jnp.all(tres.converged),
+        ferr_max=jnp.max(tres.ferr))
+    return new_state, diag
+
+
+

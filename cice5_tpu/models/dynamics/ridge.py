@@ -1,0 +1,321 @@
+"""Mechanical redistribution (ridging).
+
+TPU-native re-expression of /root/reference/source/ice_mechred.F90:
+ridge_ice (:101, iterate-until-area-conserved driver), asum_ridging (:758),
+ridge_prep (:820), ridge_itd (:936, participation + ridge-ITD functions),
+ridge_shift (:1303, donor/receiver redistribution), ridge_check (:2040).
+
+The reference's compressed cell lists and per-category shiftflags become
+dense masked arithmetic; the donor loop (n) x receiver loop (nr) is a static
+ncat x ncat double loop of fused vector ops; the outer iterate-until-
+conserved loop is a ``lax.while_loop`` (normally 1-2 trips).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cice5_tpu import constants as ct
+from cice5_tpu.state import TracerRegistry, DEP_AICE, DEP_VICE, DEP_VSNO, DEP_TRCR
+from cice5_tpu.models.thermo.itd import tracer_weights, compute_tracers
+
+# ridging parameters (ice_mechred.F90:66-84)
+CS = 0.25          # fraction of shear energy contributing to ridging
+FSNOWRDG = 0.5     # snow fraction that survives ridging
+GSTAR = 0.15       # max G(h) participating (krdg_partic=0)
+ASTAR = 0.05       # e-folding scale (krdg_partic=1)
+MAXRAFT = 1.0      # max thickness of rafting ice (m)
+HSTAR = 25.0       # mean ridge thickness parameter (krdg_redist=0)
+NITERMAX = 20
+
+
+class RidgeITD(NamedTuple):
+    aksum: jnp.ndarray      # (*B)
+    apartic0: jnp.ndarray   # (*B) open-water participation
+    apartic: jnp.ndarray    # (ncat, *B)
+    hrmin: jnp.ndarray
+    hrmax: jnp.ndarray
+    hrexp: jnp.ndarray
+    krdg: jnp.ndarray
+
+
+def ridge_itd(aicen, vicen, aice0, *, krdg_partic=1, krdg_redist=1,
+              mu_rdg=4.0) -> RidgeITD:
+    """Participation and ridge-ITD functions (ice_mechred.F90:936-1290)."""
+    ncat = aicen.shape[0]
+    # cumulative distribution Gsum(-1..ncat)
+    a0 = jnp.where(aice0 > ct.puny, aice0, 0.0)
+    an = jnp.where(aicen > ct.puny, aicen, 0.0)
+    csum = jnp.concatenate([a0[None], a0[None] + jnp.cumsum(an, axis=0)],
+                           axis=0)                     # (ncat+1, *B), G(0..ncat)
+    total = jnp.maximum(csum[-1], ct.puny)
+    G = csum / total                                   # G(0..ncat)
+    Gm1 = jnp.concatenate([jnp.zeros_like(G[:1]), G[:-1]], axis=0)  # G(n-1)
+
+    if krdg_partic == 0:
+        Gstari = 1.0 / GSTAR
+        full = G < GSTAR
+        partial = (~full) & (Gm1 < GSTAR)
+        ap = jnp.where(full,
+                       Gstari * (G - Gm1) * (2.0 - (Gm1 + G) * Gstari),
+                       jnp.where(partial,
+                                 Gstari * (GSTAR - Gm1)
+                                 * (2.0 - (Gm1 + GSTAR) * Gstari), 0.0))
+    else:
+        astari = 1.0 / ASTAR
+        xtmp = 1.0 / (1.0 - jnp.exp(-astari))
+        eG = jnp.exp(-G * astari) * xtmp
+        eGm1 = jnp.concatenate([jnp.full_like(eG[:1], xtmp), eG[:-1]], axis=0)
+        ap = eGm1 - eG
+    apartic0 = ap[0]
+    apartic = ap[1:]
+
+    hi = jnp.where(an > ct.puny, vicen / jnp.maximum(an, ct.puny), 0.0)
+    hi = jnp.maximum(hi, ct.puny)
+    has = an > ct.puny
+    hrmin = jnp.where(has, jnp.minimum(2.0 * hi, hi + MAXRAFT), 0.0)
+    if krdg_redist == 0:
+        hrmax = jnp.where(has, jnp.maximum(2.0 * jnp.sqrt(HSTAR * hi),
+                                           hrmin + ct.puny), 0.0)
+        krdg = jnp.where(has, 0.5 * (hrmin + hrmax) / hi, 1.0)
+        hrexp = jnp.zeros_like(hrmin)
+    else:
+        hrexp = jnp.where(has, mu_rdg * jnp.sqrt(hi), 0.0)
+        krdg = jnp.where(has, (hrmin + hrexp) / hi, 1.0)
+        hrmax = jnp.zeros_like(hrmin)
+
+    aksum = apartic0 + jnp.sum(apartic * (1.0 - 1.0 / krdg), axis=0)
+    return RidgeITD(aksum=aksum, apartic0=apartic0, apartic=apartic,
+                    hrmin=hrmin, hrmax=hrmax, hrexp=hrexp, krdg=krdg)
+
+
+class RidgeResult(NamedTuple):
+    aicen: jnp.ndarray
+    vicen: jnp.ndarray
+    vsnon: jnp.ndarray
+    trcrn: jnp.ndarray
+    aice0: jnp.ndarray
+    dardg1dt: jnp.ndarray
+    dardg2dt: jnp.ndarray
+    dvirdgdt: jnp.ndarray
+    opening: jnp.ndarray
+    fresh: jnp.ndarray      # snow mass melted into ocean (kg/m^2/s)
+    fhocn: jnp.ndarray      # heat flux to melt that snow (W/m^2)
+    asum_err: jnp.ndarray   # |asum - 1| after final iteration
+
+
+def _chain_amount(tr: TracerRegistry, it, t_n, da, dv, dvs):
+    """Donor-side conserved amount for tracer slot it (chain walk)."""
+    amt = t_n[it]
+    q = it
+    while tr.depend[q] >= DEP_TRCR:
+        q = tr.depend[q] - DEP_TRCR
+        amt = amt * t_n[q]
+    base = {DEP_AICE: da, DEP_VICE: dv, DEP_VSNO: dvs}[tr.depend[q]]
+    return base * amt
+
+
+def _chain_root_and_parents(tr: TracerRegistry, it):
+    parents = []
+    q = it
+    while tr.depend[q] >= DEP_TRCR:
+        q = tr.depend[q] - DEP_TRCR
+        parents.append(q)
+    return tr.depend[q], parents
+
+
+def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
+              vicen, vsnon, trcrn, aice0, rdg_conv, rdg_shear,
+              krdg_partic=1, krdg_redist=1, mu_rdg=4.0,
+              ndtd=1) -> RidgeResult:
+    """Full ridging driver (ice_mechred.F90:101-757 ridge_ice)."""
+    ncat = aicen.shape[0]
+    B = aicen.shape[1:]
+    dtype = aicen.dtype
+    hmax = list(hin_max)
+    hmax[ncat] = 1.0e8          # ridge_prep: all ridged ice thinner than top
+
+    asum = aice0 + jnp.sum(aicen, axis=0)
+    closing_net = CS * rdg_shear + rdg_conv
+    divu_adv = (1.0 - asum) / dt
+    closing_net = jnp.where(divu_adv < 0.0,
+                            jnp.maximum(closing_net, -divu_adv), closing_net)
+    opning = closing_net + divu_adv
+
+    z = jnp.zeros(B, dtype)
+
+    class Carry(NamedTuple):
+        niter: jnp.ndarray
+        aicen: jnp.ndarray
+        vicen: jnp.ndarray
+        vsnon: jnp.ndarray
+        trcrn: jnp.ndarray
+        aice0: jnp.ndarray
+        closing_net: jnp.ndarray
+        opning: jnp.ndarray
+        done: jnp.ndarray
+        ardg1: jnp.ndarray
+        ardg2: jnp.ndarray
+        virdg: jnp.ndarray
+        aopen: jnp.ndarray
+        msnow_mlt: jnp.ndarray
+        esnow_mlt: jnp.ndarray
+
+    def cond(c: Carry):
+        return (c.niter < NITERMAX) & jnp.any(~c.done)
+
+    def body(c: Carry) -> Carry:
+        active = ~c.done
+        aicen, vicen, vsnon, trcrn = c.aicen, c.vicen, c.vsnon, c.trcrn
+        aice0 = c.aice0
+
+        r = ridge_itd(aicen, vicen, aice0, krdg_partic=krdg_partic,
+                      krdg_redist=krdg_redist, mu_rdg=mu_rdg)
+
+        # gross closing, limited by open water / category availability
+        closing_gross = c.closing_net / jnp.maximum(r.aksum, ct.puny)
+        opn = c.opning
+        wk = r.apartic0 * closing_gross * dt
+        fac = jnp.where((r.apartic0 > 0.0) & (wk > aice0),
+                        aice0 / jnp.maximum(wk, ct.puny), 1.0)
+        closing_gross = closing_gross * fac
+        opn = opn * fac
+        for n in range(ncat):
+            wk = r.apartic[n] * closing_gross * dt
+            lim = (aicen[n] > ct.puny) & (r.apartic[n] > 0.0) & (wk > aicen[n])
+            fac = jnp.where(lim, aicen[n] / jnp.maximum(wk, ct.puny), 1.0)
+            closing_gross = closing_gross * fac
+            opn = opn * fac
+        closing_gross = jnp.where(active, closing_gross, 0.0)
+        opn = jnp.where(active, opn, 0.0)
+
+        aice0 = jnp.maximum(
+            aice0 - r.apartic0 * closing_gross * dt + opn * dt, 0.0)
+        aopen = c.aopen + opn * dt
+
+        atrcrn = tracer_weights(tr, aicen, vicen, vsnon, trcrn) * trcrn
+        a_init, v_init, s_init = aicen, vicen, vsnon
+
+        ardg1_d = c.ardg1
+        ardg2_d = c.ardg2
+        virdg_d = c.virdg
+        msnow = c.msnow_mlt
+        esnow = c.esnow_mlt
+
+        for n in range(ncat):
+            ridging = ((a_init[n] > ct.puny) & (r.apartic[n] > 0.0)
+                       & (closing_gross > 0.0))
+            ardg1n = jnp.where(ridging,
+                               jnp.minimum(r.apartic[n] * closing_gross * dt,
+                                           a_init[n]), 0.0)
+            ardg2n = ardg1n / jnp.maximum(r.krdg[n], ct.puny)
+            afrac = ardg1n / jnp.maximum(a_init[n], ct.puny)
+            virdgn = v_init[n] * afrac
+            vsrdgn = s_init[n] * afrac
+
+            aicen = aicen.at[n].add(-ardg1n)
+            vicen = vicen.at[n].add(-virdgn)
+            vsnon = vsnon.at[n].add(-vsrdgn)
+
+            ardg1_d = ardg1_d + ardg1n
+            ardg2_d = ardg2_d + ardg2n
+            virdg_d = virdg_d + virdgn
+            msnow = msnow + ct.rhos * vsrdgn * (1.0 - FSNOWRDG)
+            qsno_n = trcrn[n, tr.nt_qsno:tr.nt_qsno + nslyr]
+            esnow = esnow + jnp.sum(vsrdgn[None] * qsno_n / nslyr, axis=0) \
+                * (1.0 - FSNOWRDG)
+
+            # donor-side tracer removal
+            t_n = trcrn[n]
+            for it in range(tr.ntrcr):
+                datr = _chain_amount(tr, it, t_n, ardg1n, virdgn, vsrdgn)
+                atrcrn = atrcrn.at[n, it].add(-datr)
+
+            # receiver-side redistribution
+            dhr = jnp.maximum(r.hrmax[n] - r.hrmin[n], ct.puny)
+            dhr2 = jnp.maximum(r.hrmax[n] ** 2 - r.hrmin[n] ** 2, ct.puny)
+            for nr in range(ncat):
+                if krdg_redist == 0:
+                    out = (r.hrmin[n] >= hmax[nr + 1]) | \
+                        (r.hrmax[n] <= hmax[nr])
+                    hL = jnp.maximum(r.hrmin[n], hmax[nr])
+                    hR = jnp.minimum(r.hrmax[n], hmax[nr + 1])
+                    hL = jnp.where(out, 0.0, hL)
+                    hR = jnp.where(out, 0.0, hR)
+                    farea = (hR - hL) / dhr
+                    fvol = (hR * hR - hL * hL) / dhr2
+                else:
+                    hi1 = r.hrmin[n]
+                    hexp = jnp.maximum(r.hrexp[n], ct.puny)
+                    if nr < ncat - 1:
+                        out = hi1 >= hmax[nr + 1]
+                        hL = jnp.maximum(hi1, hmax[nr])
+                        hR = hmax[nr + 1]
+                        expL = jnp.exp(-(hL - hi1) / hexp)
+                        expR = jnp.exp(-(hR - hi1) / hexp)
+                        farea = jnp.where(out, 0.0, expL - expR)
+                        fvol = jnp.where(
+                            out, 0.0,
+                            ((hL + hexp) * expL - (hR + hexp) * expR)
+                            / (hi1 + hexp))
+                    else:
+                        hL = jnp.maximum(hi1, hmax[nr])
+                        expL = jnp.exp(-(hL - hi1) / hexp)
+                        farea = expL
+                        fvol = (hL + hexp) * expL / (hi1 + hexp)
+
+                aicen = aicen.at[nr].add(farea * ardg2n)
+                vicen = vicen.at[nr].add(fvol * virdgn)
+                vsnon = vsnon.at[nr].add(fvol * vsrdgn * FSNOWRDG)
+
+                for it in range(tr.ntrcr):
+                    root, parents = _chain_root_and_parents(tr, it)
+                    if (tr.nt_alvl in parents or tr.nt_apnd in parents
+                            or it == tr.nt_alvl or it == tr.nt_vlvl):
+                        continue   # level-ice & pond tracers lost in ridging
+                    if root == DEP_AICE:
+                        amt = farea * ardg2n * t_n[it]
+                    elif root == DEP_VICE:
+                        amt = fvol * virdgn * t_n[it]
+                        for p in parents:      # fbri chain
+                            amt = amt * t_n[p]
+                    else:
+                        amt = fvol * vsrdgn * FSNOWRDG * t_n[it]
+                    atrcrn = atrcrn.at[nr, it].add(amt)
+
+        trcrn = compute_tracers(tr, atrcrn, aicen, vicen, vsnon)
+
+        # convergence check (ridge_check, ice_mechred.F90:2040-2093)
+        asum2 = aice0 + jnp.sum(aicen, axis=0)
+        ok = jnp.abs(asum2 - 1.0) < ct.puny
+        divadv = (1.0 - asum2) / dt
+        closing_new = jnp.where(ok, 0.0, jnp.maximum(0.0, -divadv))
+        opning_new = jnp.where(ok, 0.0, jnp.maximum(0.0, divadv))
+
+        return Carry(
+            niter=c.niter + 1, aicen=aicen, vicen=vicen, vsnon=vsnon,
+            trcrn=trcrn, aice0=aice0, closing_net=closing_new,
+            opning=opning_new, done=c.done | ok,
+            ardg1=ardg1_d, ardg2=ardg2_d, virdg=virdg_d, aopen=aopen,
+            msnow_mlt=msnow, esnow_mlt=esnow)
+
+    init = Carry(niter=jnp.zeros((), jnp.int32), aicen=aicen, vicen=vicen,
+                 vsnon=vsnon, trcrn=trcrn, aice0=aice0,
+                 closing_net=closing_net, opning=opning,
+                 done=jnp.zeros(B, bool),
+                 ardg1=z, ardg2=z, virdg=z, aopen=z, msnow_mlt=z,
+                 esnow_mlt=z)
+    f = jax.lax.while_loop(cond, body, init)
+
+    dti = 1.0 / dt
+    dti_th = 1.0 / (ndtd * dt)
+    asum_f = f.aice0 + jnp.sum(f.aicen, axis=0)
+    return RidgeResult(
+        aicen=f.aicen, vicen=f.vicen, vsnon=f.vsnon, trcrn=f.trcrn,
+        aice0=f.aice0,
+        dardg1dt=f.ardg1 * dti, dardg2dt=f.ardg2 * dti,
+        dvirdgdt=f.virdg * dti, opening=f.aopen * dti,
+        fresh=f.msnow_mlt * dti_th, fhocn=f.esnow_mlt * dti_th,
+        asum_err=jnp.abs(asum_f - 1.0))

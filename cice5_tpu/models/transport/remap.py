@@ -1,0 +1,620 @@
+"""Incremental remapping transport (Dukowicz-Baumgardner / Lipscomb-Hunke).
+
+TPU-native re-expression of /root/reference/source/ice_transport_remap.F90
+(horizontal_remap :309, construct_fields :1024, limited_gradient :1344,
+departure_points :1493, locate_triangles :1680, triangle_coordinates :3078,
+transport_integrals :3199, update_fields :3517) and the driver packing of
+ice_transport_driver.F90 (state_to_tracers :789, tracers_to_state :908).
+
+Design: the reference decomposes each edge's departure region into <= 5
+triangles chosen from ~20 mutually-exclusive cases via deep branching, using
+compressed per-group cell lists and integer (iflux, jflux) gather indices.
+Here every branch becomes a dense boolean mask, every triangle group is
+computed for ALL edges simultaneously, and the donor-cell gather becomes a
+6-way one-hot select over statically-shifted neighbor arrays (TL/BL/TR/BR/
+TC/BC) — no gathers, no data-dependent control flow, fully fused by XLA.
+The per-category remap shares one triangle geometry (it depends only on the
+velocity field) and vmaps the field integrals over categories.
+
+Scaled coordinates: all geometry is computed in the local cell-edge frame
+(lengths scaled by dxu/dyu, origin at the edge midpoint) exactly as the
+reference; areas are rescaled by areafac = dxu*dyu of the appropriate
+corner. Rectangular-coordinate simplifications used by the reference
+(xav = yav = 0, xxav = yyav = 1/12; init_remap) are used here too.
+
+The l_fixed_area path (prescribed edge areas, used for some coupled grids)
+is not yet implemented.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cice5_tpu import constants as ct
+from cice5_tpu.parallel import Topology, extend
+from cice5_tpu.state import TracerRegistry, DEP_AICE, DEP_VICE, DEP_VSNO, DEP_TRCR
+
+NGROUPS = 6
+XXAV = 1.0 / 12.0   # mean value of x^2 over a unit cell
+YYAV = 1.0 / 12.0
+
+# donor-cell codes
+TL, BL, TR, BR, TC, BC = range(6)
+
+
+def limited_gradient(phi, phimask, cnx, cny, topo: Topology):
+    """Van Leer-limited gradient in scaled coordinates
+    (ice_transport_remap.F90:1344-1490).
+
+    phi, phimask: (..., ny, nx); cnx/cny: center offsets (0 for the mass
+    field, center-of-mass coords for tracers). Returns (gx, gy).
+    """
+    pE = extend(phi, topo)
+    mE = extend(phimask, topo)
+
+    def nbr(di, dj):
+        j0, j1 = 1 + dj, pE.shape[-2] - 1 + dj
+        i0, i1 = 1 + di, pE.shape[-1] - 1 + di
+        p = pE[..., j0:j1, i0:i1]
+        m = mE[..., j0:j1, i0:i1]
+        return m * p + (1.0 - m) * phi
+
+    phi_nw, phi_n, phi_ne = nbr(-1, 1), nbr(0, 1), nbr(1, 1)
+    phi_w, phi_e = nbr(-1, 0), nbr(1, 0)
+    phi_sw, phi_s, phi_se = nbr(-1, -1), nbr(0, -1), nbr(1, -1)
+
+    gx = (phi_e - phi_w) * 0.5
+    gy = (phi_n - phi_s) * 0.5
+
+    allp = jnp.stack([phi_nw, phi_n, phi_ne, phi_w, phi, phi_e,
+                      phi_sw, phi_s, phi_se])
+    pmn = jnp.min(allp, axis=0) - phi
+    pmx = jnp.max(allp, axis=0) - phi
+
+    w1 = (0.5 - cnx) * gx + (0.5 - cny) * gy
+    w2 = (0.5 - cnx) * gx - (0.5 + cny) * gy
+    w3 = -(0.5 + cnx) * gx - (0.5 + cny) * gy
+    w4 = (0.5 - cny) * gy - (0.5 + cnx) * gx
+    qmn = jnp.minimum(jnp.minimum(w1, w2), jnp.minimum(w3, w4))
+    qmx = jnp.maximum(jnp.maximum(w1, w2), jnp.maximum(w3, w4))
+
+    lim1 = jnp.where(jnp.abs(qmn) > jnp.abs(pmn),
+                     jnp.maximum(0.0, pmn / jnp.where(qmn != 0.0, qmn, 1.0)),
+                     1.0)
+    lim2 = jnp.where(jnp.abs(qmx) > jnp.abs(pmx),
+                     jnp.maximum(0.0, pmx / jnp.where(qmx != 0.0, qmx, 1.0)),
+                     1.0)
+    lim = jnp.minimum(lim1, lim2)
+    keep = phimask > ct.puny
+    return jnp.where(keep, lim * gx, 0.0), jnp.where(keep, lim * gy, 0.0)
+
+
+class Geometry(NamedTuple):
+    """Triangle decomposition for one edge direction.
+
+    All arrays (NGROUPS, ..., nyr, nxr); vertex arrays have a 3-vertex axis.
+    donor: int codes TL..BC. triarea: signed scaled area * areafac.
+    """
+    xp: jnp.ndarray    # (NGROUPS, 3, nyr, nxr)
+    yp: jnp.ndarray
+    donor: jnp.ndarray   # (NGROUPS, nyr, nxr) int32
+    triarea: jnp.ndarray
+
+
+def _edge_geometry(edge: str, dx, dy, afl, afr):
+    """Locate departure triangles for all edges at once
+    (ice_transport_remap.F90:1680-3050 locate_triangles, l_fixed_area=F).
+
+    dx, dy: scaled departure displacements at (left, right) corners of each
+    edge: tuples (dxl, dxr), (dyl, dyr) arrays (nyr, nxr).
+    afl/afr: left/right corner area factors. Returns Geometry.
+    """
+    (dxl, dxr), (dyl, dyr) = dx, dy
+    afc = 0.5 * (afl + afr)
+    shp = dxl.shape
+    dtype = dxl.dtype
+
+    xcl, ycl = -0.5, 0.0
+    xcr, ycr = 0.5, 0.0
+    if edge == "north":
+        xdl = xcl + dxl
+        ydl = ycl + dyl
+        xdr = xcr + dxr
+        ydr = ycr + dyr
+    else:   # east: rotate trajectory by pi/2
+        xdl = xcl - dyl
+        ydl = ycl + dxl
+        xdr = xcr - dyr
+        ydr = ycr + dxr
+
+    xdm = 0.5 * (xdr + xdl)
+    ydm = 0.5 * (ydr + ydl)
+
+    safe = lambda num, den: num / jnp.where(jnp.abs(den) > 1e-30, den,
+                                            jnp.where(den >= 0, 1e-30, -1e-30))
+    xil = jnp.full(shp, xcl, dtype)
+    yil = safe(xcl * (ydm - ydl) + xdm * ydl - xdl * ydm, xdm - xdl)
+    xir = jnp.full(shp, xcr, dtype)
+    yir = safe(xcr * (ydr - ydm) - xdm * ydr + xdr * ydm, xdr - xdm)
+
+    md = safe(ydr - ydl, xdr - xdl)
+    xic = jnp.where(jnp.abs(md) > ct.puny, xdl - safe(ydl, md), 0.0)
+
+    zero3 = jnp.zeros((3,) + shp, dtype)
+    xp = [zero3] * NGROUPS
+    yp = [zero3] * NGROUPS
+    donor = [jnp.zeros(shp, jnp.int32)] * NGROUPS
+    afact = [jnp.zeros(shp, dtype)] * NGROUPS
+
+    def put(ng, mask, verts, dn, af):
+        """Set triangle in group ng where mask (verts: list of 3 (x, y))."""
+        vx = jnp.stack([v[0] if hasattr(v[0], "shape") else
+                        jnp.full(shp, v[0], dtype) for v in verts])
+        vy = jnp.stack([v[1] if hasattr(v[1], "shape") else
+                        jnp.full(shp, v[1], dtype) for v in verts])
+        xp[ng] = jnp.where(mask[None], vx, xp[ng])
+        yp[ng] = jnp.where(mask[None], vy, yp[ng])
+        donor[ng] = jnp.where(mask, dn, donor[ng])
+        afact[ng] = jnp.where(mask, af, afact[ng])
+
+    CL = (xcl, ycl)
+    CR = (xcr, ycr)
+    DL = (xdl, ydl)
+    DR = (xdr, ydr)
+    IL = (xil, yil)
+    IR = (xir, yir)
+    IC = (xic, jnp.zeros(shp, dtype))
+
+    # ---- TL/BL cells (left corner) (:2060-2165) ----
+    left_out = xdl < xcl
+    m_TL = (yil > 0) & left_out & (ydl >= 0)
+    put(1 - 1, m_TL, [CL, IL, DL], TL, -afl)
+    m_BL = (yil < 0) & left_out & (ydl < 0)
+    put(0, m_BL, [CL, DL, IL], BL, afl)
+    m_TL1 = (yil < 0) & left_out & (ydl >= 0)
+    put(0, m_TL1, [CL, DL, IC], TL, afl)
+    put(2, m_TL1, [CL, IC, IL], BL, afl)
+    m_TL2 = (yil > 0) & left_out & (ydl < 0)
+    put(2, m_TL2, [CL, IL, IC], TL, -afl)
+    put(0, m_TL2, [CL, IC, DL], BL, -afl)
+
+    # ---- TR/BR cells (right corner) (:2168-2270) ----
+    right_out = xdr >= xcr
+    m_TR = (yir > 0) & right_out & (ydr >= 0)
+    put(1, m_TR, [CR, DR, IR], TR, -afr)
+    m_BR = (yir < 0) & right_out & (ydr < 0)
+    put(1, m_BR, [CR, IR, DR], BR, afr)
+    m_TR1 = (yir < 0) & right_out & (ydr >= 0)
+    put(1, m_TR1, [CR, IC, DR], TR, afr)
+    put(2, m_TR1, [CR, IR, IC], BR, afr)
+    m_TR2 = (yir > 0) & right_out & (ydr < 0)
+    put(2, m_TR2, [CR, IC, IR], TR, -afr)
+    put(1, m_TR2, [CR, DR, IC], BR, -afr)
+
+    # ---- redefine DPs clipped to the central cells (:2276-2285) ----
+    xdl2 = jnp.where(left_out, xil, xdl)
+    ydl2 = jnp.where(left_out, yil, ydl)
+    xdr2 = jnp.where(right_out, xir, xdr)
+    ydr2 = jnp.where(right_out, yir, ydr)
+    xdm = 0.5 * (xdr2 + xdl2)
+    ydm = 0.5 * (ydr2 + ydl2)
+    DL2 = (xdl2, ydl2)
+    DR2 = (xdr2, ydr2)
+    DM = (xdm, ydm)
+    ICL = IC
+    ICR = IC
+
+    # ---- central TC/BC cells (:2395-3048) ----
+    both_up = (ydl2 >= 0) & (ydr2 >= 0)
+    both_dn = (ydl2 < 0) & (ydr2 < 0)
+    mix_lr = (ydl2 >= 0) & (ydr2 < 0)     # left up, right down
+    mix_rl = (ydl2 < 0) & (ydr2 >= 0)
+    up_m = ydm >= 0
+    xic_r = xic >= 0
+
+    # both DPs above the edge
+    m = both_up & up_m
+    put(3, m, [CL, CR, DL2], TC, -afc)
+    put(4, m, [CR, DR2, DL2], TC, -afc)
+    put(5, m, [DL2, DR2, DM], TC, -afc)
+    m = both_up & ~up_m          # rare
+    put(3, m, [CL, ICL, DL2], TC, -afc)
+    put(4, m, [CR, DR2, ICR], TC, -afc)
+    put(5, m, [ICR, ICL, DM], BC, afc)
+    # both DPs below
+    m = both_dn & ~up_m
+    put(3, m, [CL, DL2, CR], BC, afc)
+    put(4, m, [CR, DL2, DR2], BC, afc)
+    put(5, m, [DL2, DM, DR2], BC, afc)
+    m = both_dn & up_m           # rare
+    put(3, m, [CL, DL2, ICL], BC, afc)
+    put(4, m, [CR, ICR, DR2], BC, afc)
+    put(5, m, [ICL, ICR, DM], TC, -afc)
+    # left up, right down
+    m = mix_lr & xic_r & up_m
+    put(3, m, [CL, ICR, DL2], TC, -afc)
+    put(4, m, [CR, ICR, DR2], BC, afr)
+    put(5, m, [DL2, ICR, DM], TC, -afc)
+    m = mix_lr & xic_r & ~up_m
+    put(3, m, [CL, ICL, DL2], TC, -afc)
+    put(4, m, [CR, ICR, DR2], BC, afr)
+    put(5, m, [ICR, ICL, DM], BC, afc)
+    m = mix_lr & ~xic_r & ~up_m
+    put(3, m, [CL, ICL, DL2], TC, -afl)
+    put(4, m, [CR, ICL, DR2], BC, afc)
+    put(5, m, [DR2, ICL, DM], BC, afc)
+    m = mix_lr & ~xic_r & up_m
+    put(3, m, [CL, ICL, DL2], TC, -afl)
+    put(4, m, [CR, ICR, DR2], BC, afc)
+    put(5, m, [ICL, ICR, DM], TC, -afc)
+    # left down, right up
+    m = mix_rl & ~xic_r & up_m
+    put(3, m, [CL, DL2, ICL], BC, afl)
+    put(4, m, [CR, DR2, ICL], TC, -afc)
+    put(5, m, [ICL, DR2, DM], TC, -afc)
+    m = mix_rl & ~xic_r & ~up_m
+    put(3, m, [CL, DL2, ICL], BC, afl)
+    put(4, m, [CR, DR2, ICR], TC, -afc)
+    put(5, m, [ICR, ICL, DM], BC, afc)
+    m = mix_rl & xic_r & ~up_m
+    put(3, m, [CL, DL2, ICR], BC, afc)
+    put(4, m, [CR, DR2, ICR], TC, -afr)
+    put(5, m, [ICR, DL2, DM], BC, afc)
+    m = mix_rl & xic_r & up_m
+    put(3, m, [CL, DL2, ICL], BC, afc)
+    put(4, m, [CR, DR2, ICR], TC, -afr)
+    put(5, m, [ICL, ICR, DM], TC, -afc)
+
+    xp = jnp.stack(xp)
+    yp = jnp.stack(yp)
+    donor = jnp.stack(donor)
+    afact = jnp.stack(afact)
+
+    # triangle areas (:3052-3075): A = 1/2 cross * areafact
+    x1, x2, x3 = xp[:, 0], xp[:, 1], xp[:, 2]
+    y1, y2, y3 = yp[:, 0], yp[:, 1], yp[:, 2]
+    tri = 0.5 * ((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)) * afact
+    cutoff = 1.0e-16 * jnp.maximum(afc, 1e-30)
+    tri = jnp.where(jnp.abs(tri) > cutoff[None], tri, 0.0)
+
+    # --- transform vertices into the DONOR cell's centered frame
+    # (:2985-3018): north shifts by the donor offset; east additionally
+    # un-rotates the pi/2 trajectory rotation.
+    if edge == "north":
+        offs = {TL: (-1, 1), BL: (-1, 0), TR: (1, 1), BR: (1, 0),
+                TC: (0, 1), BC: (0, 0)}
+    else:
+        offs = {TL: (1, 1), BL: (0, 1), TR: (1, -1), BR: (0, -1),
+                TC: (1, 0), BC: (0, 0)}
+    ish = jnp.zeros_like(donor, dtype)
+    jsh = jnp.zeros_like(donor, dtype)
+    for code, (di, dj) in offs.items():
+        ish = jnp.where(donor == code, float(di), ish)
+        jsh = jnp.where(donor == code, float(dj), jsh)
+    if edge == "north":
+        xp = xp - ish[:, None]
+        yp = yp + 0.5 - jsh[:, None]
+    else:
+        xp_new = yp + (0.5 - ish)[:, None]
+        yp_new = -xp - jsh[:, None]
+        xp, yp = xp_new, yp_new
+    return Geometry(xp=xp, yp=yp, donor=donor, triarea=tri)
+
+
+def _triangle_midpoints(g: Geometry):
+    """3-point degree-2 quadrature points: midpoints between each vertex and
+    the centroid (triangle_coordinates :3078-3150, integral_order=2)."""
+    x0 = jnp.mean(g.xp, axis=1, keepdims=True)
+    y0 = jnp.mean(g.yp, axis=1, keepdims=True)
+    return 0.5 * g.xp + 0.5 * x0, 0.5 * g.yp + 0.5 * y0
+
+
+def _nbr_views_north(fE, ny, nx):
+    """Six donor-cell views for north edges, region (ny+1, nx):
+    edge (i, j), j = -1..ny-1 -> jj = j+1."""
+    return {
+        BC: fE[..., 0:ny + 1, 1:nx + 1],
+        TC: fE[..., 1:ny + 2, 1:nx + 1],
+        BL: fE[..., 0:ny + 1, 0:nx],
+        TL: fE[..., 1:ny + 2, 0:nx],
+        BR: fE[..., 0:ny + 1, 2:nx + 2],
+        TR: fE[..., 1:ny + 2, 2:nx + 2],
+    }
+
+
+def _nbr_views_east(fE, ny, nx):
+    """Six donor-cell views for east edges, region (ny, nx+1):
+    edge (i, j), i = -1..nx-1 -> ii = i+1."""
+    return {
+        BC: fE[..., 1:ny + 1, 0:nx + 1],
+        TC: fE[..., 1:ny + 1, 1:nx + 2],
+        BL: fE[..., 2:ny + 2, 0:nx + 1],
+        TL: fE[..., 2:ny + 2, 1:nx + 2],
+        BR: fE[..., 0:ny, 0:nx + 1],
+        TR: fE[..., 0:ny, 1:nx + 2],
+    }
+
+
+def _donor_select(donor, views):
+    """One-hot select donor-cell field values per group.
+
+    donor: (NGROUPS, nyr, nxr) codes; views: dict code -> (..., nyr, nxr).
+    Returns (NGROUPS, ..., nyr, nxr)."""
+    out = None
+    for code, v in views.items():
+        sel = (donor == code)
+        # broadcast mask over field dims
+        extra = v.ndim - sel.shape[0:0].__len__() - 2 - 1 + 1
+        m = sel.reshape(sel.shape[0:1] + (1,) * (v.ndim - 2) + sel.shape[1:])
+        term = jnp.where(m, v[None], 0.0)
+        out = term if out is None else out + term
+    return out
+
+
+class RemapFluxes(NamedTuple):
+    mflx: jnp.ndarray      # (nyr, nxr) mass flux across each edge
+    mtflx: jnp.ndarray     # (ntrace, nyr, nxr)
+
+
+def _integrals(g: Geometry, views_mc, views_mx, views_my, views_tc,
+               views_tx, views_ty, tracer_type, parent):
+    """Quadratic transport integrals over all triangles
+    (transport_integrals :3199-3512, integral_order=2)."""
+    qx, qy = _triangle_midpoints(g)          # (NGROUPS, 3, nyr, nxr)
+    mc_d = _donor_select(g.donor, views_mc)  # (NGROUPS, nyr, nxr)
+    mx_d = _donor_select(g.donor, views_mx)
+    my_d = _donor_select(g.donor, views_my)
+
+    P333 = 1.0 / 3.0
+    mq = P333 * (mc_d[:, None] + qx * mx_d[:, None] + qy * my_d[:, None])
+    msum = jnp.sum(mq, axis=1)                       # (NGROUPS, nyr, nxr)
+    mflx = jnp.sum(g.triarea * msum, axis=0)
+
+    mxsum = jnp.sum(mq * qx, axis=1)
+    mysum = jnp.sum(mq * qy, axis=1)
+    mxxsum = jnp.sum(mq * qx * qx, axis=1)
+    mxysum = jnp.sum(mq * qx * qy, axis=1)
+    myysum = jnp.sum(mq * qy * qy, axis=1)
+
+    tc_d = _donor_select(g.donor, views_tc)   # (NGROUPS, ntrace, nyr, nxr)
+    tx_d = _donor_select(g.donor, views_tx)
+    ty_d = _donor_select(g.donor, views_ty)
+
+    ntrace = tc_d.shape[1]
+    mtsums = [None] * ntrace
+    mtxsums = [None] * ntrace
+    mtysums = [None] * ntrace
+    mtflx = []
+    for nt in range(ntrace):
+        if tracer_type[nt] == 1:
+            mts = (msum * tc_d[:, nt] + mxsum * tx_d[:, nt]
+                   + mysum * ty_d[:, nt])
+            mtxsums[nt] = (mxsum * tc_d[:, nt] + mxxsum * tx_d[:, nt]
+                           + mxysum * ty_d[:, nt])
+            mtysums[nt] = (mysum * tc_d[:, nt] + mxysum * tx_d[:, nt]
+                           + myysum * ty_d[:, nt])
+        elif tracer_type[nt] == 2:
+            p = parent[nt]
+            mts = (mtsums[p] * tc_d[:, nt] + mtxsums[p] * tx_d[:, nt]
+                   + mtysums[p] * ty_d[:, nt])
+        else:   # type 3: upwind approximation for the deepest dependents
+            p = parent[nt]
+            mts = mtsums[p] * tc_d[:, nt]
+        mtsums[nt] = mts
+        mtflx.append(jnp.sum(g.triarea * mts, axis=0))
+    return RemapFluxes(mflx=mflx, mtflx=jnp.stack(mtflx))
+
+
+def horizontal_remap(dt, grid, topo: Topology, *, uvel, vvel, mm, tm,
+                     tracer_type, parent):
+    """Remap one mass field mm (ny, nx) + tracers tm (ntrace, ny, nx)
+    given corner velocities (horizontal_remap :309-780). Returns updated
+    (mm, tm). Geometry is recomputed; for multi-category use
+    transport_remap which shares it."""
+    geom = remap_geometry(dt, grid, topo, uvel=uvel, vvel=vvel)
+    return remap_fields(grid, topo, geom, mm=mm, tm=tm,
+                        tracer_type=tracer_type, parent=parent)
+
+
+class RemapGeometry(NamedTuple):
+    north: Geometry
+    east: Geometry
+
+
+def remap_geometry(dt, grid, topo: Topology, *, uvel, vvel) -> RemapGeometry:
+    """Departure points + triangle decomposition for both edge sets."""
+    ny, nx = uvel.shape
+    # departure displacements at U corners (departure_points :1493-1541)
+    dpx = -dt * uvel
+    dpy = -dt * vvel
+    dxuE = extend(grid.dxu, topo)
+    dyuE = extend(grid.dyu, topo)
+    dpxE = extend(dpx, topo)
+    dpyE = extend(dpy, topo)
+    dxs = dpxE / jnp.where(dxuE > 0, dxuE, 1.0)
+    dys = dpyE / jnp.where(dyuE > 0, dyuE, 1.0)
+    A = dxuE * dyuE
+
+    # north edges: region (ny+1, nx), edge (i,j) j=-1..ny-1 (jj=j+1)
+    dxl_n = dxs[0:ny + 1, 0:nx]       # corner (i-1, j)
+    dxr_n = dxs[0:ny + 1, 1:nx + 1]   # corner (i, j)
+    dyl_n = dys[0:ny + 1, 0:nx]
+    dyr_n = dys[0:ny + 1, 1:nx + 1]
+    afl_n = A[0:ny + 1, 0:nx]
+    afr_n = A[0:ny + 1, 1:nx + 1]
+    gn = _edge_geometry("north", (dxl_n, dxr_n), (dyl_n, dyr_n), afl_n,
+                        afr_n)
+
+    # east edges: region (ny, nx+1), edge (i,j) i=-1..nx-1 (ii=i+1)
+    dxl_e = dxs[1:ny + 1, 0:nx + 1]   # corner (i, j)   [left = north end]
+    dyl_e = dys[1:ny + 1, 0:nx + 1]
+    dxr_e = dxs[0:ny, 0:nx + 1]       # corner (i, j-1)
+    dyr_e = dys[0:ny, 0:nx + 1]
+    afl_e = A[1:ny + 1, 0:nx + 1]
+    afr_e = A[0:ny, 0:nx + 1]
+    ge = _edge_geometry("east", (dxl_e, dxr_e), (dyl_e, dyr_e), afl_e, afr_e)
+    return RemapGeometry(north=gn, east=ge)
+
+
+def remap_fields(grid, topo: Topology, geom: RemapGeometry, *, mm, tm,
+                 tracer_type, parent):
+    """construct_fields + integrals + update for one mass field + tracers."""
+    ny, nx = mm.shape
+    hm = grid.hm
+
+    # --- construct linear reconstructions (construct_fields :1024-1316) ---
+    mmask = (mm > 0.0).astype(mm.dtype)
+    mx, my = limited_gradient(mm, hm, 0.0, 0.0, topo)
+    mc = mm
+    denom = jnp.where(mm > 0.0, mm, 1.0)
+    mxav = jnp.where(mm > 0.0, mx * XXAV / denom, 0.0)
+    myav = jnp.where(mm > 0.0, my * YYAV / denom, 0.0)
+
+    ntrace = tm.shape[0]
+    tcs, txs, tys = [], [], []
+    mtx = [None] * ntrace
+    mty = [None] * ntrace
+    for nt in range(ntrace):
+        if tracer_type[nt] == 1:
+            tx, ty = limited_gradient(tm[nt], mmask, mxav, myav, topo)
+            tc = tm[nt] - tx * mxav - ty * myav
+            # center of mass*tracer for dependents (:1208-1240)
+            w1 = mc * tc
+            w2 = mc * tx + mx * tc
+            w3 = mc * ty + my * tc
+            d2 = jnp.where(jnp.abs(mm * tm[nt]) > 0.0, mm * tm[nt], 1.0)
+            ok = jnp.abs(mm * tm[nt]) > ct.puny
+            mtx[nt] = jnp.where(ok, (w2 * XXAV) / d2, 0.0)
+            mty[nt] = jnp.where(ok, (w3 * YYAV) / d2, 0.0)
+        elif tracer_type[nt] == 2:
+            p = parent[nt]
+            tmask_p = (jnp.abs(tm[p]) > 0.0).astype(mm.dtype) * mmask
+            tx, ty = limited_gradient(tm[nt], tmask_p, mtx[p], mty[p], topo)
+            tc = tm[nt] - tx * mtx[p] - ty * mty[p]
+        else:     # type 3: piecewise constant
+            tx = jnp.zeros_like(mm)
+            ty = jnp.zeros_like(mm)
+            tc = tm[nt]
+        tcs.append(tc)
+        txs.append(tx)
+        tys.append(ty)
+    tc_all = jnp.stack(tcs)
+    tx_all = jnp.stack(txs)
+    ty_all = jnp.stack(tys)
+
+    # --- extended fields for donor views ---
+    mcE = extend(mc, topo)
+    mxE = extend(mx, topo)
+    myE = extend(my, topo)
+    tcE = extend(tc_all, topo)
+    txE = extend(tx_all, topo)
+    tyE = extend(ty_all, topo)
+
+    fn = _integrals(geom.north,
+                    _nbr_views_north(mcE, ny, nx),
+                    _nbr_views_north(mxE, ny, nx),
+                    _nbr_views_north(myE, ny, nx),
+                    _nbr_views_north(tcE, ny, nx),
+                    _nbr_views_north(txE, ny, nx),
+                    _nbr_views_north(tyE, ny, nx),
+                    tracer_type, parent)
+    fe = _integrals(geom.east,
+                    _nbr_views_east(mcE, ny, nx),
+                    _nbr_views_east(mxE, ny, nx),
+                    _nbr_views_east(myE, ny, nx),
+                    _nbr_views_east(tcE, ny, nx),
+                    _nbr_views_east(txE, ny, nx),
+                    _nbr_views_east(tyE, ny, nx),
+                    tracer_type, parent)
+
+    # --- update (update_fields :3517-3730) ---
+    mtold = []
+    for nt in range(ntrace):
+        w = mm * tm[nt]
+        p = parent[nt]
+        if tracer_type[nt] >= 2:
+            w = w * tm[p]
+            if tracer_type[nt] == 3:
+                w = w * tm[parent[p]]
+        mtold.append(w)
+
+    div_m = (fe.mflx[:, 1:] - fe.mflx[:, :-1]
+             + fn.mflx[1:, :] - fn.mflx[:-1, :])
+    mm_new = jnp.maximum(mm - div_m * grid.tarear, 0.0)
+    mm_new = jnp.where(grid.tmask, mm_new, 0.0)
+
+    tms = []
+    pos = mm_new > 0.0
+    for nt in range(ntrace):
+        w1 = (fe.mtflx[nt, :, 1:] - fe.mtflx[nt, :, :-1]
+              + fn.mtflx[nt, 1:, :] - fn.mtflx[nt, :-1, :])
+        mt_new = mtold[nt] - w1 * grid.tarear
+        if tracer_type[nt] == 1:
+            den = mm_new
+        elif tracer_type[nt] == 2:
+            den = mm_new * tms[parent[nt]]
+        else:
+            den = mm_new * tms[parent[nt]] * tms[parent[parent[nt]]]
+        ok = pos & (jnp.abs(den) > 0.0)
+        tms.append(jnp.where(ok, mt_new / jnp.where(ok, den, 1.0), 0.0))
+    return mm_new, jnp.stack(tms)
+
+
+def transport_remap(dt, grid, topo: Topology, tr: TracerRegistry, *, uvel,
+                    vvel, aicen, vicen, vsnon, trcrn):
+    """Full-state incremental remapping (transport_remap :198-630 +
+    state_to_tracers/tracers_to_state): mass field = aicen per category;
+    tracers = [hice, hsno, trcrn...] with the reference's dependency table.
+    """
+    ncat = aicen.shape[0]
+    ntrcr = tr.ntrcr
+
+    # tracer table: index 0 = hice (type 1), 1 = hsno (type 1),
+    # 2+it = trcrn[it]
+    tracer_type = [1, 1]
+    parent = [-1, -1]
+    for it in range(ntrcr):
+        d = tr.depend[it]
+        if d == DEP_AICE:
+            tracer_type.append(1)
+            parent.append(-1)
+        elif d == DEP_VICE:
+            tracer_type.append(2)
+            parent.append(0)
+        elif d == DEP_VSNO:
+            tracer_type.append(2)
+            parent.append(1)
+        else:
+            p = d - DEP_TRCR
+            # depends on tracer p (itself type 1 or 2)
+            if tr.depend[p] < DEP_TRCR and tr.depend[p] == DEP_AICE:
+                tracer_type.append(2)
+                parent.append(2 + p)
+            else:
+                tracer_type.append(3)
+                parent.append(2 + p)
+
+    safe_a = jnp.maximum(aicen, ct.puny)
+    has = aicen > 0.0
+    hice = jnp.where(has, vicen / safe_a, 0.0)
+    hsno = jnp.where(has, vsnon / safe_a, 0.0)
+    tm = jnp.concatenate([hice[:, None], hsno[:, None], trcrn], axis=1)
+
+    geom = remap_geometry(dt, grid, topo, uvel=uvel, vvel=vvel)
+
+    def one_cat(mmc, tmc):
+        return remap_fields(grid, topo, geom, mm=mmc, tm=tmc,
+                            tracer_type=tuple(tracer_type),
+                            parent=tuple(parent))
+
+    mm_new, tm_new = jax.vmap(one_cat)(aicen, tm)
+
+    aicen_n = mm_new
+    hice_n = tm_new[:, 0]
+    hsno_n = tm_new[:, 1]
+    trcrn_n = tm_new[:, 2:]
+    vicen_n = aicen_n * hice_n
+    vsnon_n = aicen_n * hsno_n
+    return aicen_n, vicen_n, vsnon_n, trcrn_n

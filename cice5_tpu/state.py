@@ -145,6 +145,12 @@ class State:
     iceumask: jnp.ndarray       # U-cell ice mask from previous dynamics step
                                 # (float 0/1; in reference restart,
                                 # ice_restart_driver.F90:121)
+    strocnxT: jnp.ndarray       # ice-ocean stress on T grid from previous
+    strocnyT: jnp.ndarray       # dynamics step (restart fields; used by
+                                # frzmlt_bottom_lateral's ustar)
+    frzmlt: jnp.ndarray         # freezing/melting potential from the slab
+                                # ocean at the end of the previous step
+                                # (the reference's lagged coupling field)
     # slab-ocean prognostic SST (used when forcing.oceanmixed_ice); carried
     # always so the pytree structure is config-independent at this level.
     sst: jnp.ndarray
@@ -176,5 +182,8 @@ def zeros_state(cfg: ModelConfig, tr: TracerRegistry) -> State:
         stress12=jnp.zeros((4, ny, nx), dt_),
         scale_factor=z2(),
         iceumask=z2(),
+        strocnxT=z2(),
+        strocnyT=z2(),
+        frzmlt=z2(),
         sst=z2(),
     )
