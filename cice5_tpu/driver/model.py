@@ -135,10 +135,46 @@ class Model:
         return self._jstep(state, forcing, self.grid)
 
     def run(self, state: State, nsteps: int, start_step: int = 0,
-            diag_every: int = 0, diag_fn=None):
+            diag_every: int = 0, diag_fn=None, history=None,
+            history_dir: str = "history", restart_every: int = 0,
+            restart_dir: str = "restart", log=print):
+        """Time loop (CICE_RunMod.F90:37-90 CICE_Run): step + diagnostics +
+        history accumulation/write + restart dumps."""
+        import os
+        from cice5_tpu.io import diagnostics as diag_mod
+        from cice5_tpu.io import history as hist_mod
+        from cice5_tpu.io import restart as restart_mod
+
+        cfg = self.cfg
         for k in range(nsteps):
-            forcing = self.forcing_at(start_step + k)
+            istep = start_step + k
+            forcing = self.forcing_at(istep)
             state, diag = self.step(state, forcing)
-            if diag_fn is not None and diag_every and (k % diag_every == 0):
-                diag_fn(start_step + k, state, diag)
+            info = self.calendar.info(istep + 1, cfg.time.dt)
+
+            if diag_every and (istep % diag_every == 0):
+                gd = diag_mod.compute_diags(state, self.grid, self.tr,
+                                            cfg.nilyr, cfg.nslyr)
+                log(diag_mod.format_diags(istep, gd))
+                if diag_fn is not None:
+                    diag_fn(istep, state, diag)
+
+            if history is not None:
+                history.accum(hist_mod.diag_to_values(diag, state, self.grid),
+                              info.time)
+                if history.ready(info):
+                    fn = os.path.join(
+                        history_dir,
+                        f"iceh.{info.year:04d}-{info.month:02d}-"
+                        f"{info.mday:02d}-{info.sec:05d}.nc")
+                    hist_mod.write_netcdf(history, self.grid, info, fn)
+                    log(f"wrote history {fn}")
+
+            if restart_every and ((istep + 1) % restart_every == 0):
+                fn = os.path.join(
+                    restart_dir,
+                    f"iced.{info.year:04d}-{info.month:02d}-"
+                    f"{info.mday:02d}-{info.sec:05d}.npz")
+                restart_mod.dump(state, fn, istep=istep + 1, time=info.time)
+                log(f"wrote restart {fn}")
         return state

@@ -1,0 +1,96 @@
+"""Runtime diagnostics: global conservation budgets.
+
+Equivalent of /root/reference/source/ice_diagnostics.F90 runtime_diags (:103)
++ total_energy/total_salt (:1038/:1124): hemispheric area/extent/volume/
+energy sums and step-to-step heat/water/salt budget closure, printed every
+diagfreq steps. Reductions are deterministic jnp sums (the bfbflag concern of
+mpi/ice_global_reductions.F90:142-267 vanishes on a fixed mesh).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cice5_tpu import constants as ct
+
+
+class GlobalDiags(NamedTuple):
+    arean: jnp.ndarray     # total ice area N hemisphere (m^2)
+    areas: jnp.ndarray
+    extentn: jnp.ndarray   # area where aice > 0.15
+    extents: jnp.ndarray
+    volumen: jnp.ndarray   # ice volume (m^3)
+    volumes: jnp.ndarray
+    snwvlmn: jnp.ndarray
+    snwvlms: jnp.ndarray
+    etotn: jnp.ndarray     # total ice+snow energy (J)
+    etots: jnp.ndarray
+    salt: jnp.ndarray      # total salt content (kg)
+    umax: jnp.ndarray      # max ice speed (m/s)
+    amax: jnp.ndarray
+
+
+def compute_diags(state, grid, tr, nilyr, nslyr) -> GlobalDiags:
+    aice = jnp.sum(state.aicen, axis=0)
+    vice = jnp.sum(state.vicen, axis=0)
+    vsno = jnp.sum(state.vsnon, axis=0)
+
+    qice = state.trcrn[:, tr.nt_qice:tr.nt_qice + nilyr]
+    qsno = state.trcrn[:, tr.nt_qsno:tr.nt_qsno + nslyr]
+    sice = state.trcrn[:, tr.nt_sice:tr.nt_sice + nilyr]
+    eice = jnp.sum(jnp.sum(qice, axis=1) * state.vicen / nilyr, axis=0)
+    esno = jnp.sum(jnp.sum(qsno, axis=1) * state.vsnon / nslyr, axis=0)
+    salt = jnp.sum(jnp.sum(sice, axis=1) * state.vicen / nilyr, axis=0) \
+        * ct.rhoi * 0.001
+
+    an, as_ = grid.tarean, grid.tareas
+    ext = (aice > 0.15).astype(aice.dtype)
+    speed = jnp.sqrt(state.uvel ** 2 + state.vvel ** 2)
+    return GlobalDiags(
+        arean=jnp.sum(aice * an), areas=jnp.sum(aice * as_),
+        extentn=jnp.sum(ext * an), extents=jnp.sum(ext * as_),
+        volumen=jnp.sum(vice * an), volumes=jnp.sum(vice * as_),
+        snwvlmn=jnp.sum(vsno * an), snwvlms=jnp.sum(vsno * as_),
+        etotn=jnp.sum((eice + esno) * an),
+        etots=jnp.sum((eice + esno) * as_),
+        salt=jnp.sum(salt * (an + as_)),
+        umax=jnp.max(speed), amax=jnp.max(aice))
+
+
+def format_diags(istep: int, d: GlobalDiags) -> str:
+    """Text block in the spirit of runtime_diags' log output."""
+    g = lambda x: float(x)
+    return (
+        f"istep {istep:8d} "
+        f"| area N/S {g(d.arean):.4e}/{g(d.areas):.4e} m^2 "
+        f"| extent N/S {g(d.extentn):.4e}/{g(d.extents):.4e} m^2 "
+        f"| volume N/S {g(d.volumen):.4e}/{g(d.volumes):.4e} m^3 "
+        f"| snow N/S {g(d.snwvlmn):.3e}/{g(d.snwvlms):.3e} "
+        f"| energy {g(d.etotn) + g(d.etots):.6e} J "
+        f"| salt {g(d.salt):.4e} kg "
+        f"| max|u| {g(d.umax):.3f} m/s | max aice {g(d.amax):.3f}")
+
+
+def print_state(state, grid, tr, nilyr, nslyr, j: int, i: int,
+                label: str = "") -> str:
+    """Full column dump at one grid point (print_state,
+    ice_diagnostics.F90:1331 — the point-debug hook)."""
+    lines = [f"--- print_state {label} at (j={j}, i={i}) "
+             f"lat={float(grid.TLAT[j, i]) * 57.29578:.2f} "
+             f"lon={float(grid.TLON[j, i]) * 57.29578:.2f} ---"]
+    for n in range(state.aicen.shape[0]):
+        a = float(state.aicen[n, j, i])
+        v = float(state.vicen[n, j, i])
+        s = float(state.vsnon[n, j, i])
+        t = float(state.trcrn[n, tr.nt_Tsfc, j, i])
+        lines.append(f"cat {n}: aicen {a:.5f} vicen {v:.5f} vsnon {s:.5f} "
+                     f"Tsfc {t:.3f}")
+        qi = [float(state.trcrn[n, tr.nt_qice + k, j, i])
+              for k in range(nilyr)]
+        lines.append("   qice: " + " ".join(f"{q:.3e}" for q in qi))
+    lines.append(f"uvel {float(state.uvel[j, i]):.4f} "
+                 f"vvel {float(state.vvel[j, i]):.4f} "
+                 f"sst {float(state.sst[j, i]):.3f}")
+    return "\n".join(lines)
