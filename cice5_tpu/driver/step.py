@@ -129,7 +129,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
 
     # ---------------- per-category ABL + vertical thermo (vmap) ---------
     def therm_one(aic, vic, vsn, tsf, zqi, zqs, zsi, fswsfc, fswint, Iswabs,
-                  Sswabs):
+                  Sswabs, hpnd_in, apnd_in):
         if cfg.forcing.atmbndy == "constant":
             abl = atmo.atmo_boundary_const(
                 sfctype="ice", Tsf=tsf, potT=forcing.potT, uatm=forcing.uatm,
@@ -148,12 +148,27 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
             rhoa=forcing.rhoa, fsnow=forcing.fsnow,
             shcoef=abl.shcoef, lhcoef=abl.lhcoef,
             fswsfc=fswsfc, fswint=fswint, Sswabs=Sswabs, Iswabs=Iswabs,
-            fbot=fbot, Tbot=Tbot, sss=forcing.sss)
+            fbot=fbot, Tbot=Tbot, sss=forcing.sss, hpond=hpnd_in,
+            apond=apnd_in)
         return res, abl.strx, abl.stry
 
-    tres, strairxn, strairyn = jax.vmap(therm_one)(
+    if cfg.tracers.tr_pond and cfg.thermo.ktherm == 2:
+        hpnd_all = trcrn[:, tr.nt_hpnd]
+        apnd_all = trcrn[:, tr.nt_apnd]
+        if cfg.tracers.tr_pond_lvl:
+            apnd_all = apnd_all * trcrn[:, tr.nt_alvl]
+    else:
+        hpnd_all = jnp.zeros_like(aicen)
+        apnd_all = jnp.zeros_like(aicen)
+
+    def therm_wrap(aic, vic, vsn, tsf, zqi, zqs, zsi, fswsfc, fswint,
+                   Iswabs, Sswabs, hpnd_in, apnd_in):
+        return therm_one(aic, vic, vsn, tsf, zqi, zqs, zsi, fswsfc, fswint,
+                         Iswabs, Sswabs, hpnd_in, apnd_in)
+
+    tres, strairxn, strairyn = jax.vmap(therm_wrap)(
         aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
-        absr.fswsfc, absr.fswint, absr.Iswabs, Sswabsn)
+        absr.fswsfc, absr.fswint, absr.Iswabs, Sswabsn, hpnd_all, apnd_all)
 
     # merge per-category fluxes with pre-thermo areas (merge_fluxes,
     # ice_flux.F90:681; thermo does not change aicen except melt-out)
@@ -182,6 +197,58 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     trcrn = trcrn.at[:, tr.nt_Tsfc].set(tres.Tsf)
     trcrn = trcrn.at[:, tr.nt_qice:tr.nt_qice + nilyr].set(tres.zqin)
     trcrn = trcrn.at[:, tr.nt_qsno:tr.nt_qsno + nslyr].set(tres.zqsn)
+    if cfg.thermo.ktherm == 2:
+        trcrn = trcrn.at[:, tr.nt_sice:tr.nt_sice + nilyr].set(tres.zSin)
+
+    # ---------------- optional tracers (step_therm1 tail) ----------------
+    tcfg = cfg.tracers
+    if tcfg.tr_iage:
+        from cice5_tpu.models.tracers.simple import increment_age
+        trcrn = trcrn.at[:, tr.nt_iage].set(
+            increment_age(dt, trcrn[:, tr.nt_iage], aicen))
+    if tcfg.tr_FY:
+        from cice5_tpu.models.tracers.simple import update_FYarea
+        nhmask = grid.ULAT >= 0.0
+        trcrn = trcrn.at[:, tr.nt_FY].set(
+            update_FYarea(dt, forcing.yday, trcrn[:, tr.nt_FY], aicen,
+                          nhmask[None]))
+    if tcfg.tr_pond:
+        rfrac = tcfg.rfracmin + (tcfg.rfracmax - tcfg.rfracmin) * aice
+        if tcfg.tr_pond_cesm:
+            from cice5_tpu.models.tracers.ponds import compute_ponds_cesm
+            ap, hp = compute_ponds_cesm(
+                dt, aicen=aicen, vicen=vicen, vsnon=vsnon, Tsfcn=tres.Tsf,
+                apnd=trcrn[:, tr.nt_apnd], hpnd=trcrn[:, tr.nt_hpnd],
+                meltt=tres.meltt, melts=tres.melts, frain=forcing.frain,
+                rfrac=rfrac[None], pndaspect=tcfg.pndaspect)
+            trcrn = trcrn.at[:, tr.nt_apnd].set(ap)
+            trcrn = trcrn.at[:, tr.nt_hpnd].set(hp)
+        elif tcfg.tr_pond_lvl:
+            from cice5_tpu.models.tracers.ponds import compute_ponds_lvl
+            pr = compute_ponds_lvl(
+                dt, aicen=aicen, vicen=vicen, vsnon=vsnon, Tsfcn=tres.Tsf,
+                alvl=trcrn[:, tr.nt_alvl], apnd=trcrn[:, tr.nt_apnd],
+                hpnd=trcrn[:, tr.nt_hpnd], ipnd=trcrn[:, tr.nt_ipnd],
+                meltt=tres.meltt, melts=tres.melts, frain=forcing.frain,
+                rfrac=rfrac[None], Tair=forcing.Tair, fsurfn=tres.fsurfn,
+                dhs=tres.dsnow,
+                qicen=jnp.moveaxis(tres.zqin, 1, 0),
+                sicen=jnp.moveaxis(zSin, 1, 0),
+                pndaspect=tcfg.pndaspect, frzpnd=tcfg.frzpnd,
+                dpscale=tcfg.dpscale, ktherm=cfg.thermo.ktherm)
+            trcrn = trcrn.at[:, tr.nt_apnd].set(pr.apnd)
+            trcrn = trcrn.at[:, tr.nt_hpnd].set(pr.hpnd)
+            trcrn = trcrn.at[:, tr.nt_ipnd].set(pr.ipnd)
+        elif tcfg.tr_pond_topo:
+            from cice5_tpu.models.tracers.ponds import compute_ponds_topo_simple
+            ap, hp, ip = compute_ponds_topo_simple(
+                dt, aicen=aicen, vicen=vicen, vsnon=vsnon, Tsfcn=tres.Tsf,
+                apnd=trcrn[:, tr.nt_apnd], hpnd=trcrn[:, tr.nt_hpnd],
+                ipnd=trcrn[:, tr.nt_ipnd], meltt=tres.meltt,
+                melts=tres.melts, frain=forcing.frain, rfrac=rfrac[None])
+            trcrn = trcrn.at[:, tr.nt_apnd].set(ap)
+            trcrn = trcrn.at[:, tr.nt_hpnd].set(hp)
+            trcrn = trcrn.at[:, tr.nt_ipnd].set(ip)
 
     # ---------------- step_therm2: ITD evolution -------------------------
     aicen_init_itd = state.aicen       # pre-thermo, for linear_itd

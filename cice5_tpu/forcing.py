@@ -52,6 +52,7 @@ class Forcing:
     Tf: jnp.ndarray        # freezing temperature (deg C)
     qdp: jnp.ndarray       # deep ocean heat flux (W/m^2)
     hmix: jnp.ndarray      # mixed layer depth (m)
+    yday: jnp.ndarray      # fractional day of year (scalar array)
 
 
 def Tf_from_sss(sss):
@@ -98,4 +99,5 @@ def idealized_polar_forcing(shape, yday: float, *, Tair_mean=-15.0,
         swvdr=swvdr, swvdf=swvdf, swidr=swidr, swidf=swidf,
         sss=sss, sst=Tf_from_sss(sss), uocn=f(0.0), vocn=f(0.0),
         ss_tltx=f(0.0), ss_tlty=f(0.0), frzmlt=f(0.0),
-        Tf=Tf_from_sss(sss), qdp=f(0.0), hmix=f(hmix_val))
+        Tf=Tf_from_sss(sss), qdp=f(0.0), hmix=f(hmix_val),
+        yday=jnp.asarray(yday, dtype))

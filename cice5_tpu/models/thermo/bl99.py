@@ -190,6 +190,14 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
     Tsn_init = zTsn
     Tmlts = -zSin * ct.depressT
 
+    # f32-aware energy tolerance: the absolute J/m^2 cancellation noise of
+    # single precision makes the reference's 1e-3 W/m^2 unreachable; 1e-2 is
+    # within the documented acceptable range (ice_therm_shared.F90:31
+    # 'recommend ferrmax < 0.01').
+    ferrmax_eff = shared.ferrmax if dtype == jnp.float64 else 1.0e-2
+    qsn_init0 = shared.snow_enthalpy(Tsn_init)
+    qin_init0 = shared.ice_enthalpy(Tin_init, Tmlts, l_brine)
+
     kh0 = conductivity(l_snow, hilyr, hslyr, zTin, zSin, nilyr=nilyr,
                        nslyr=nslyr, conduct=conduct, ksno=ksno)
 
@@ -322,7 +330,8 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
             zTsn_new = jnp.minimum(zTsn_new, 0.0)
         zTsn_new = zTsn_new + avg_Tsi * 0.5 * (c.zTsn - zTsn_new)
         zqsn_new = shared.snow_enthalpy(zTsn_new)
-        enew = jnp.sum(hslyr * zqsn_new, axis=0)
+        # energy CHANGE in difference form (cancellation-safe in f32)
+        dener = jnp.sum(hslyr * (zqsn_new - qsn_init0), axis=0)
 
         # --- ice layers ---
         zTin_mat = Tmat[1 + nslyr:]
@@ -342,7 +351,7 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
             reduce_kh = jnp.zeros_like(zTin_mat, bool)
         zTin_new = zTin_new + avg_Tsi * 0.5 * (c.zTin - zTin_new)
         zqin_new = shared.ice_enthalpy(zTin_new, Tmlts, l_brine)
-        enew = enew + jnp.sum(hilyr * zqin_new, axis=0)
+        dener = dener + jnp.sum(hilyr * (zqin_new - qin_init0), axis=0)
         einex = jnp.sum(hilyr * dqmat, axis=0)
 
         # --- conditions 3 & 4 ---
@@ -355,8 +364,8 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
 
         # --- condition 5: energy conservation ---
         fcb = c.kh[nmat - 1] * (zTin_new[nilyr - 1] - Tbot) + einex / dt
-        ferr = jnp.abs((enew - einit) / dt - (fcondtopn - fcb + fswint))
-        bad_energy = ferr > 0.9 * shared.ferrmax
+        ferr = jnp.abs(dener / dt - (fcondtopn - fcb + fswint))
+        bad_energy = ferr > 0.9 * ferrmax_eff
         conv = conv & ~bad_energy
 
         # Conductivity reduction for the next iteration where the energy

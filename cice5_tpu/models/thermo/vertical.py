@@ -95,6 +95,7 @@ class ThicknessResult(NamedTuple):
     hslyr: jnp.ndarray
     zqin: jnp.ndarray
     zqsn: jnp.ndarray
+    zSin: jnp.ndarray
     efinal: jnp.ndarray
     fhocnn: jnp.ndarray
     evapn: jnp.ndarray
@@ -118,8 +119,14 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
     B = fbot.shape
     dzi = jnp.broadcast_to(hilyr, (nilyr,) + B)
     dzs = jnp.broadcast_to(hslyr, (nslyr,) + B)
-    qmlt = jnp.zeros_like(zqin)               # ktherm=2: enthalpy_of_melting
+    if ktherm == 2:
+        from cice5_tpu.models.thermo import mushy
+        qmlt = mushy.enthalpy_of_melting(zSin)
+    else:
+        qmlt = jnp.zeros_like(zqin)
     qm = zqin - qmlt
+    emlt_atm = jnp.zeros(B, zqin.dtype)
+    emlt_ocn = jnp.zeros(B, zqin.dtype)
 
     meltt = jnp.zeros(B, zqin.dtype)
     melts = jnp.zeros_like(meltt)
@@ -158,29 +165,66 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
     dzs = dzs.at[0].add(dhs_c)
     dzi = dzi.at[0].add(dhi_c)
     evapn = evapn + dhs_c * ct.rhos + dhi_c * ct.rhoi
+    emlt_atm = emlt_atm - qmlt[0] * dhi_c
 
     # --- bottom growth (:1552-1624) ---
-    Tmlts_b = -zSin[nilyr - 1] * ct.depressT
-    if l_brine:
-        Tb = jnp.minimum(Tbot, -ct.puny)
-        qbot = -ct.rhoi * (ct.cp_ice * (Tmlts_b - Tb)
-                           + ct.Lfresh * (1.0 - Tmlts_b / Tb)
-                           - ct.cp_ocn * Tmlts_b)
-        qbot = jnp.minimum(qbot, QBOTMAX)
+    if ktherm == 2:
+        from cice5_tpu.models.thermo import mushy
+        from cice5_tpu.config import ThermoConfig
+        phi_i_mushy = 0.85
+        qbotm = mushy.enthalpy_mush(Tbot, sss)
+        qbotp = -ct.Lfresh * ct.rhoi * (1.0 - phi_i_mushy)
+        qbot0 = qbotm - qbotp
+        dhi_g = ebot_gro / qbotp                  # > 0
+        hqtot = dzi[nilyr - 1] * zqin[nilyr - 1] + dhi_g * qbotm
+        hstot_s = dzi[nilyr - 1] * zSin[nilyr - 1] + dhi_g * sss
+        emlt_ocn = emlt_ocn - qbot0 * dhi_g
+        dzi = dzi.at[nilyr - 1].add(dhi_g)
+        ok = dzi[nilyr - 1] > ct.puny
+        den = jnp.maximum(dzi[nilyr - 1], 1e-30)
+        newq = jnp.where(ok, hqtot / den, zqin[nilyr - 1])
+        newS = jnp.where(ok, hstot_s / den, zSin[nilyr - 1])
+        zqin = zqin.at[nilyr - 1].set(newq)
+        zSin = zSin.at[nilyr - 1].set(newS)
+        qmlt = qmlt.at[nilyr - 1].set(
+            jnp.where(ok, mushy.enthalpy_of_melting(newS),
+                      qmlt[nilyr - 1]))
+        qm = qm.at[nilyr - 1].set(newq - qmlt[nilyr - 1])
+        congel = congel + dhi_g
     else:
-        qbot = -ct.rhoi * (-ct.cp_ice * Tbot + ct.Lfresh)
-    dhi_g = ebot_gro / qbot                       # > 0
-    hqtot = dzi[nilyr - 1] * zqin[nilyr - 1] + dhi_g * qbot
-    dzi = dzi.at[nilyr - 1].add(dhi_g)
-    newq = jnp.where(dzi[nilyr - 1] > ct.puny,
-                     hqtot / jnp.maximum(dzi[nilyr - 1], 1e-30),
-                     zqin[nilyr - 1])
-    zqin = zqin.at[nilyr - 1].set(newq)
-    qm = qm.at[nilyr - 1].set(newq - qmlt[nilyr - 1])
-    congel = congel + dhi_g
+        Tmlts_b = -zSin[nilyr - 1] * ct.depressT
+        if l_brine:
+            Tb = jnp.minimum(Tbot, -ct.puny)
+            qbot = -ct.rhoi * (ct.cp_ice * (Tmlts_b - Tb)
+                               + ct.Lfresh * (1.0 - Tmlts_b / Tb)
+                               - ct.cp_ocn * Tmlts_b)
+            qbot = jnp.minimum(qbot, QBOTMAX)
+        else:
+            qbot = -ct.rhoi * (-ct.cp_ice * Tbot + ct.Lfresh)
+        dhi_g = ebot_gro / qbot                       # > 0
+        hqtot = dzi[nilyr - 1] * zqin[nilyr - 1] + dhi_g * qbot
+        dzi = dzi.at[nilyr - 1].add(dhi_g)
+        newq = jnp.where(dzi[nilyr - 1] > ct.puny,
+                         hqtot / jnp.maximum(dzi[nilyr - 1], 1e-30),
+                         zqin[nilyr - 1])
+        zqin = zqin.at[nilyr - 1].set(newq)
+        qm = qm.at[nilyr - 1].set(newq - qmlt[nilyr - 1])
+        congel = congel + dhi_g
 
     # --- snow: sublimation + top melt, top-down (:1629-1690) ---
     for k in range(nslyr):
+        if ktherm == 2:
+            # remove internal snow melt (:1633-1645)
+            warm = zqsn[k] > -ct.rhos * ct.Lfresh
+            dhs_m = jnp.where(
+                warm,
+                jnp.maximum(-dzs[k],
+                            -((zqsn[k] + ct.rhos * ct.Lfresh)
+                              / (ct.rhos * ct.Lfresh)) * dzs[k]), 0.0)
+            dzs = dzs.at[k].add(dhs_m)
+            zqsn = zqsn.at[k].set(jnp.where(warm, -ct.rhos * ct.Lfresh,
+                                            zqsn[k]))
+            melts = melts - dhs_m
         qsub = zqsn[k] - ct.rhos * ct.Lvap
         dhs = jnp.maximum(-dzs[k], esub / qsub)
         dzs = dzs.at[k].add(dhs)
@@ -200,12 +244,14 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
         dzi = dzi.at[k].add(dhi)
         esub = jnp.maximum(esub - dhi * qsub, 0.0)
         evapn = evapn + dhi * ct.rhoi
+        emlt_ocn = emlt_ocn - qmlt[k] * dhi
 
         qneg = qm[k] < 0.0
         qmk = jnp.where(qneg, qm[k], 0.0)
         dhi2 = jnp.where(qneg,
                          jnp.maximum(-dzi[k], etop_mlt / jnp.minimum(qmk, -1e-30)),
                          -dzi[k])
+        emlt_ocn = emlt_ocn - jnp.maximum(zqin[k], qmlt[k]) * dhi2
         dzi = dzi.at[k].add(dhi2)
         etop_mlt = jnp.maximum(etop_mlt - dhi2 * qmk, 0.0)
         meltt = meltt - dhi2
@@ -218,6 +264,7 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
         dhi = jnp.where(qneg,
                         jnp.maximum(-dzi[k], ebot_mlt / jnp.minimum(qmk, -1e-30)),
                         -dzi[k])
+        emlt_ocn = emlt_ocn - jnp.maximum(zqin[k], qmlt[k]) * dhi
         dzi = dzi.at[k].add(dhi)
         ebot_mlt = jnp.maximum(ebot_mlt - dhi * qmk, 0.0)
         meltb = meltb - dhi
@@ -284,6 +331,8 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
     zi2 = _interface_depths(jnp.broadcast_to(hilyr_new, (nilyr,) + B))
     zi2 = zi2.at[nilyr].set(hin)
     zqin = adjust_enthalpy(zi1, zi2, hilyr_new, hin, zqin)
+    if ktherm == 2:
+        zSin = adjust_enthalpy(zi1, zi2, hilyr_new, hin, zSin)
 
     if nslyr > 1:
         zs1 = _interface_depths(jnp.maximum(dzs, 0.0))
@@ -292,15 +341,27 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
         zs2 = zs2.at[nslyr].set(hsn)
         zqsn = adjust_enthalpy(zs1, zs2, hslyr_new, hsn, zqsn)
 
+    if ktherm == 2:
+        # remove very thin snow layers (:1959-1974)
+        thin = hsn <= ct.puny
+        fhocnn = fhocnn + jnp.where(
+            thin, jnp.sum(zqsn, axis=0) * hsn / (nslyr * dt), 0.0)
+        zqsn = jnp.where(thin[None], -ct.rhos * ct.Lfresh, zqsn)
+        hslyr_new = jnp.where(thin, 0.0, hslyr_new)
+
     # --- final energy (:1977-2006) ---
     efinal = -evapn * ct.Lvap
     efinal = efinal + jnp.sum(hslyr_new[None] * zqsn, axis=0)
     efinal = efinal + jnp.sum(hilyr_new[None] * zqin, axis=0)
     evapn = evapn / dt
+    if ktherm == 2:
+        fhocnn = fhocnn + emlt_ocn / dt
+        efinal = efinal + emlt_atm
 
     return ThicknessResult(
         hin=hin, hsn=hsn, hilyr=hilyr_new, hslyr=hslyr_new,
-        zqin=zqin, zqsn=zqsn, efinal=efinal, fhocnn=fhocnn, evapn=evapn,
+        zqin=zqin, zqsn=zqsn, zSin=zSin, efinal=efinal, fhocnn=fhocnn,
+        evapn=evapn,
         hsn_new=hsn_new, meltt=meltt, melts=melts, meltb=meltb,
         congel=congel, snoice=snoice, dsnow=dsnow)
 
@@ -312,6 +373,7 @@ class ThermoVerticalResult(NamedTuple):
     Tsf: jnp.ndarray
     zqin: jnp.ndarray
     zqsn: jnp.ndarray
+    zSin: jnp.ndarray
     fsensn: jnp.ndarray
     flatn: jnp.ndarray
     flwoutn: jnp.ndarray
@@ -335,7 +397,8 @@ class ThermoVerticalResult(NamedTuple):
 def thermo_vertical(dt, cfg, *, aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
                     flw, potT, Qa, rhoa, fsnow, shcoef, lhcoef,
                     fswsfc, fswint, Sswabs, Iswabs,
-                    fbot, Tbot, sss) -> ThermoVerticalResult:
+                    fbot, Tbot, sss, hpond=None,
+                    apond=None) -> ThermoVerticalResult:
     """Full vertical thermo update for ONE category slab over batch *B
     (ice_therm_vertical.F90:73-536 thermo_vertical).
 
@@ -367,22 +430,58 @@ def thermo_vertical(dt, cfg, *, aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
 
     worki, works = hin, hsn
 
-    r = bl99.temperature_changes(
-        dt, nilyr=nilyr, nslyr=nslyr, conduct=th.conduct, ksno=th.ksno,
-        l_brine=l_brine, mask=mask, rhoa=rhoa, flw=flw, potT=potT, Qa=Qa,
-        shcoef=shcoef, lhcoef=lhcoef, fswsfc=fswsfc, fswint=fswint,
-        Sswabs=Sswabs, Iswabs=Iswabs, hilyr=hilyr, hslyr=hslyr,
-        zTin=zTin, zSin=zSin, zTsn=zTsn, Tsf=Tsf, Tbot=Tbot, einit=einit)
+    if th.ktherm == 2:
+        from cice5_tpu.models.thermo import mushy as mushy_mod
+        if hpond is None:
+            hpond = jnp.zeros_like(Tsf)
+            apond = jnp.zeros_like(Tsf)
+        mr = mushy_mod.temperature_changes_salinity(
+            dt, nilyr=nilyr, nslyr=nslyr, mask=mask, rhoa=rhoa, flw=flw,
+            potT=potT, Qa=Qa, shcoef=shcoef, lhcoef=lhcoef, fswsfc=fswsfc,
+            fswint=fswint, Sswabs=Sswabs, Iswabs=Iswabs, hilyr=hilyr,
+            hslyr=hslyr, zqin=zqin, zSin=zSin, zqsn=zqsn, hpond=hpond,
+            apond=apond, Tsf=Tsf, Tbot=Tbot, sss=sss)
+        # pack into the BL99Result-compatible view used below
+        class _R:
+            pass
+        r = _R()
+        r.Tsf = mr.Tsf
+        r.zqin = mr.zqin
+        r.zqsn = mr.zqsn
+        r.fsensn = mr.fsensn
+        r.flatn = mr.flatn
+        r.flwoutn = mr.flwoutn
+        r.fsurfn = mr.fsurfn
+        r.fcondtopn = mr.fcondtopn
+        r.fcondbot = mr.fcondbot
+        r.fswsfc = fswsfc
+        r.fswint = fswint
+        r.converged = mr.converged
+        zSin_cur = mr.zSin
+        hilyr = mr.hilyr     # flood_ice may have changed layer thicknesses
+        hslyr = mr.hslyr
+        snoice_m = mr.snoice
+        fadvocn = mr.fadvocn
+    else:
+        r = bl99.temperature_changes(
+            dt, nilyr=nilyr, nslyr=nslyr, conduct=th.conduct, ksno=th.ksno,
+            l_brine=l_brine, mask=mask, rhoa=rhoa, flw=flw, potT=potT, Qa=Qa,
+            shcoef=shcoef, lhcoef=lhcoef, fswsfc=fswsfc, fswint=fswint,
+            Sswabs=Sswabs, Iswabs=Iswabs, hilyr=hilyr, hslyr=hslyr,
+            zTin=zTin, zSin=zSin, zTsn=zTsn, Tsf=Tsf, Tbot=Tbot, einit=einit)
+        zSin_cur = zSin
+        snoice_m = jnp.zeros_like(Tsf)
+        fadvocn = jnp.zeros_like(Tsf)
 
     tc = thickness_changes(
         dt, nilyr=nilyr, nslyr=nslyr, ktherm=th.ktherm, l_brine=l_brine,
-        hilyr=hilyr, hslyr=hslyr, zqin=r.zqin, zqsn=r.zqsn, zSin=zSin,
+        hilyr=hilyr, hslyr=hslyr, zqin=r.zqin, zqsn=r.zqsn, zSin=zSin_cur,
         fbot=fbot, Tbot=Tbot, flatn=r.flatn, fsurfn=r.fsurfn,
         fcondtopn=r.fcondtopn, fcondbot=r.fcondbot, fsnow=fsnow, sss=sss)
 
     # conservation check (ice_therm_vertical.F90:2283-2400)
     einp = (r.fsurfn - r.flatn + r.fswint - tc.fhocnn
-            - fsnow * ct.Lfresh) * dt
+            - fsnow * ct.Lfresh - fadvocn) * dt
     ferr = jnp.where(mask, jnp.abs(tc.efinal - einit - einp) / dt, 0.0)
 
     # water/salt fluxes (:447-476)
@@ -400,17 +499,19 @@ def thermo_vertical(dt, cfg, *, aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
     Tsf_new = jnp.where(mask, jnp.where(gone, Tbot, r.Tsf), Tsfcn)
     zqin_new = jnp.where(mask[None], jnp.where(gone[None], 0.0, tc.zqin), zqin)
     zqsn_new = jnp.where(mask[None], jnp.where(gone[None], 0.0, tc.zqsn), zqsn)
+    zSin_new = jnp.where(mask[None], jnp.where(gone[None], 0.0, tc.zSin), zSin)
 
     z = jnp.zeros_like(aicen)
     msk = lambda x: jnp.where(mask, x, 0.0)
     return ThermoVerticalResult(
         aicen=aicen_new, vicen=vicen_new, vsnon=vsnon_new, Tsf=Tsf_new,
-        zqin=zqin_new, zqsn=zqsn_new,
+        zqin=zqin_new, zqsn=zqsn_new, zSin=zSin_new,
         fsensn=msk(r.fsensn), flatn=msk(r.flatn), flwoutn=msk(r.flwoutn),
         fsurfn=msk(r.fsurfn), fcondtopn=msk(r.fcondtopn),
         fswsfc=msk(r.fswsfc),
         evapn=msk(tc.evapn), freshn=msk(freshn), fsaltn=msk(fsaltn),
-        fhocnn=msk(tc.fhocnn),
+        fhocnn=msk(tc.fhocnn + fadvocn),
         meltt=msk(tc.meltt), melts=msk(tc.melts), meltb=msk(tc.meltb),
-        congel=msk(tc.congel), snoice=msk(tc.snoice), dsnow=msk(tc.dsnow),
+        congel=msk(tc.congel), snoice=msk(tc.snoice + snoice_m),
+        dsnow=msk(tc.dsnow),
         ferr=ferr, converged=r.converged)

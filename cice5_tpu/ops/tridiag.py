@@ -27,6 +27,27 @@ def tridiag_solve(sbdiag, diag, spdiag, rhs):
     """
     n = diag.shape[0]
 
+    if n <= 24:
+        # Unrolled Thomas recurrence: for the model's tiny layer counts
+        # (nilyr+nslyr+1 ~ 9) a static unroll fuses into one XLA kernel,
+        # where lax.scan would emit 2n tiny sequential kernels.
+        cps, dps = [], []
+        cp = jnp.zeros_like(diag[0])
+        dp = jnp.zeros_like(diag[0])
+        for k in range(n):
+            w = 1.0 / (diag[k] - sbdiag[k] * cp)
+            cp = spdiag[k] * w
+            dp = (rhs[k] - sbdiag[k] * dps[-1]) * w if k else rhs[k] * w
+            cps.append(cp)
+            dps.append(dp)
+        xs = [None] * n
+        x = dps[n - 1]
+        xs[n - 1] = x
+        for k in range(n - 2, -1, -1):
+            x = dps[k] - cps[k] * x
+            xs[k] = x
+        return jnp.stack(xs)
+
     def fwd(carry, inputs):
         cp_prev, dp_prev = carry
         a, b, c, d = inputs
