@@ -72,14 +72,86 @@ def _pshift(x, axis_name: str, shift: int, cyclic: bool):
     return lax.ppermute(x, axis_name, perm)
 
 
+def _global_flip_x(row, topo: Topology):
+    """Global x-reversal of (..., nx_local) rows. Sharded: local flip +
+    mirror-pair ppermute (device ix <-> px-1-ix)."""
+    flipped = jnp.flip(row, axis=-1)
+    if topo.axis_x is None:
+        return flipped
+    n = lax.axis_size(topo.axis_x)
+    if n == 1:
+        return flipped
+    perm = [(i, n - 1 - i) for i in range(n)]
+    return lax.ppermute(flipped, topo.axis_x, perm)
+
+
+def _tripole_ghost(f, topo: Topology, loc: FieldLoc, kind: FieldType):
+    """North ghost row + symmetrized top row for the tripole U-fold
+    (mpi/ice_boundary.F90 tripole branches; U-fold offsets:
+    center (0,0), NEcorner (1,1), Eface (1,0), Nface (0,1)).
+
+    Returns (ghost_row (..., 1, nx), top_row_sym (..., 1, nx) or None).
+    In 1-based reference indexing the ghost at (i, ny+1) reads
+    sign * field(nxGlobal + 1 - i - ioffset, ny - joffset)."""
+    sign = -1.0 if kind in (FieldType.VECTOR, FieldType.ANGLE) else 1.0
+    ioff, joff = {
+        FieldLoc.CENTER: (0, 0),
+        FieldLoc.NECORNER: (1, 1),
+        FieldLoc.EFACE: (1, 0),
+        FieldLoc.NFACE: (0, 1),
+    }.get(loc, (0, 0))
+
+    src_row = f[..., -1 - joff:f.shape[-2] - joff, :]   # row ny or ny-1
+    gA = _global_flip_x(src_row, topo)                   # maps i -> nx+1-i
+    if ioff:
+        # maps i -> nx-i: shift the flipped row left by one, cyclic in x
+        if topo.axis_x is None:
+            g = jnp.roll(gA, -1, axis=-1)
+        else:
+            nbr = _pshift(gA[..., :1], topo.axis_x, -1, True)
+            g = jnp.concatenate([gA[..., 1:], nbr], axis=-1)
+    else:
+        g = gA
+    ghost = sign * g
+
+    # degenerate top-row symmetrization for corner/Nface fields
+    top_sym = None
+    if loc in (FieldLoc.NECORNER, FieldLoc.NFACE):
+        top = f[..., -1:, :]
+        tA = _global_flip_x(top, topo)
+        if loc == FieldLoc.NECORNER:
+            if topo.axis_x is None:
+                tB = jnp.roll(tA, -1, axis=-1)
+            else:
+                nbr = _pshift(tA[..., :1], topo.axis_x, -1, True)
+                tB = jnp.concatenate([tA[..., 1:], nbr], axis=-1)
+        else:
+            tB = tA
+        top_sym = 0.5 * (top + sign * tB)
+    return ghost, top_sym
+
+
 def extend(f: jnp.ndarray, topo: Topology,
            loc: FieldLoc = FieldLoc.CENTER,
            kind: FieldType = FieldType.SCALAR) -> jnp.ndarray:
     """Add a 1-cell ghost ring: (..., ny, nx) -> (..., ny+2, nx+2)."""
-    if topo.ns in ("tripole", "tripoleT"):
-        raise NotImplementedError("tripole fold lands with the gx1 grid work")
+    tripole = topo.ns in ("tripole", "tripoleT")
+    if topo.ns == "tripoleT":
+        raise NotImplementedError("tripole T-fold not yet implemented")
     cyc_x = topo.ew == "cyclic"
     cyc_y = topo.ns == "cyclic"
+
+    if tripole:
+        # fold ghost row (interior width), before x-extension
+        tghost, top_sym = _tripole_ghost(f, topo, loc, kind)
+        if top_sym is not None:
+            # only the global top row is degenerate; under Y sharding
+            # gate the symmetrization to the top device row
+            if topo.axis_y is not None:
+                is_top = (lax.axis_index(topo.axis_y)
+                          == lax.axis_size(topo.axis_y) - 1)
+                top_sym = jnp.where(is_top, top_sym, f[..., -1:, :])
+            f = jnp.concatenate([f[..., :-1, :], top_sym], axis=-2)
 
     # --- extend in x ---
     west_edge = f[..., :, -1:]   # what my west ghost should hold if cyclic+unsharded
@@ -107,6 +179,22 @@ def extend(f: jnp.ndarray, topo: Topology,
         else:
             svals = jnp.zeros_like(south_row)
             nvals = jnp.zeros_like(north_row)
+
+    if tripole:
+        # x-extend the folded ghost row (cyclic) and use it at the north
+        # edge; under Y sharding only the top device row applies it.
+        tg_w = tghost[..., :, -1:]
+        tg_e = tghost[..., :, :1]
+        if topo.axis_x is not None:
+            tg_w = _pshift(tghost[..., :, -1:], topo.axis_x, +1, True)
+            tg_e = _pshift(tghost[..., :, :1], topo.axis_x, -1, True)
+        tg_ext = jnp.concatenate([tg_w, tghost, tg_e], axis=-1)
+        if topo.axis_y is not None:
+            ny_dev = lax.axis_size(topo.axis_y)
+            is_top = lax.axis_index(topo.axis_y) == ny_dev - 1
+            nvals = jnp.where(is_top, tg_ext, nvals)
+        else:
+            nvals = tg_ext
     return jnp.concatenate([svals, fx, nvals], axis=-2)
 
 

@@ -99,6 +99,104 @@ class TestHalo:
                 np.testing.assert_array_equal(shard, big)
 
 
+class TestTripole:
+    """Tripole U-fold halo (mpi/ice_boundary.F90 tripole branches).
+
+    Oracle: the 1-based reference copy-out ``ghost(i, ny+1) =
+    sign * field(nxGlobal + 1 - i - ioffset, ny - joffset)`` with U-fold
+    offsets center(0,0)/NEcorner(1,1)/Eface(1,0)/Nface(0,1), plus the
+    degenerate top-row average for NEcorner/Nface fields.
+    """
+    LOCS = {
+        "center": (1, (0, 0)),
+        "necorner": (2, (1, 1)),
+        "nface": (3, (0, 1)),
+        "eface": (4, (1, 0)),
+    }
+
+    @staticmethod
+    def _oracle(f, loc_name, sign):
+        """NumPy ghost row + symmetrized top row, 0-based indexing."""
+        ny, nx = f.shape
+        _, (ioff, joff) = TestTripole.LOCS[loc_name]
+        f = f.copy()
+        if loc_name in ("necorner", "nface"):
+            top = f[ny - 1].copy()
+            mapped = np.array([top[(nx - 1 - i - ioff) % nx]
+                               for i in range(nx)])
+            f[ny - 1] = 0.5 * (top + sign * mapped)
+        src = f[ny - 1 - joff]
+        ghost = np.array([sign * src[(nx - 1 - i - ioff) % nx]
+                          for i in range(nx)])
+        return f, ghost
+
+    @pytest.mark.parametrize("loc_name", ["center", "necorner", "nface",
+                                          "eface"])
+    @pytest.mark.parametrize("sign", [1.0, -1.0])
+    def test_fold_matches_oracle(self, rng, loc_name, sign):
+        from cice5_tpu.constants import FieldLoc, FieldType
+        ny, nx = 6, 12
+        f = jnp.asarray(rng.standard_normal((ny, nx)))
+        loc = FieldLoc(self.LOCS[loc_name][0])
+        kind = FieldType.VECTOR if sign < 0 else FieldType.SCALAR
+        F = np.asarray(extend(f, Topology(ew="cyclic", ns="tripole"),
+                              loc=loc, kind=kind))
+        f_sym, ghost = self._oracle(np.asarray(f), loc_name, sign)
+        np.testing.assert_allclose(F[1:-1, 1:-1], f_sym, atol=1e-14)
+        np.testing.assert_allclose(F[-1, 1:-1], ghost, atol=1e-14)
+        # ghost row is itself cyclic in x
+        np.testing.assert_allclose(F[-1, 0], ghost[-1], atol=1e-14)
+        np.testing.assert_allclose(F[-1, -1], ghost[0], atol=1e-14)
+
+    def test_center_scalar_self_consistent(self, rng):
+        """Fold applied twice returns the original row (involution)."""
+        ny, nx = 5, 8
+        f = np.asarray(rng.standard_normal((ny, nx)))
+        _, g1 = self._oracle(f, "center", 1.0)
+        f2 = f.copy()
+        f2[ny - 1] = g1
+        _, g2 = self._oracle(f2, "center", 1.0)
+        np.testing.assert_allclose(g2, f[ny - 1], atol=1e-14)
+
+    @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2)])
+    @pytest.mark.parametrize("loc_name,kindname",
+                             [("center", "scalar"), ("necorner", "vector"),
+                              ("eface", "vector"), ("nface", "scalar")])
+    def test_decomposition_invariance(self, rng, mesh_shape, loc_name,
+                                      kindname):
+        """Sharded tripole extend == single-device tripole extend — the
+        fold's mirror-ppermute path (SURVEY.md section 4.2 oracle)."""
+        from cice5_tpu.constants import FieldLoc, FieldType
+        ny, nx = 16, 32
+        loc = FieldLoc(self.LOCS[loc_name][0])
+        kind = (FieldType.VECTOR if kindname == "vector"
+                else FieldType.SCALAR)
+        f = jnp.asarray(rng.standard_normal((ny, nx)))
+        ref_big = np.asarray(extend(f, Topology(ew="cyclic", ns="tripole"),
+                                    loc=loc, kind=kind))
+
+        mesh = make_mesh(ny=ny, nx=nx, shape=mesh_shape)
+        topo = mesh_topology(mesh, ew="cyclic", ns="tripole")
+
+        @jax.jit
+        def run(x):
+            return shard_map(
+                lambda xl: extend(xl, topo, loc=loc, kind=kind),
+                mesh=mesh, in_specs=P("Y", "X"),
+                out_specs=P("Y", "X"), check_vma=False)(x)
+
+        out_np = np.asarray(run(f))
+        py, px = mesh_shape
+        nyl, nxl = ny // py, nx // px
+        for jy in range(py):
+            for jx in range(px):
+                shard = out_np[jy * (nyl + 2):(jy + 1) * (nyl + 2),
+                               jx * (nxl + 2):(jx + 1) * (nxl + 2)]
+                big = ref_big[jy * nyl:jy * nyl + nyl + 2,
+                              jx * nxl:jx * nxl + nxl + 2]
+                np.testing.assert_allclose(shard, big, atol=1e-14)
+
+
 class TestGrid:
     def test_rectgrid_metrics(self):
         cfg = ModelConfig(grid=GridConfig(nx=16, ny=12, dx_const=1000.0,
