@@ -29,7 +29,9 @@ class GridConfig:
     ns_boundary: str = "open"        # open | closed | cyclic | tripole | tripoleT
     dx_const: float = 30000.0        # rectgrid cell size (m)  (ice_grid.F90:1145)
     dy_const: float = 30000.0
-    lat0: float = 40.0               # rectgrid lower-left latitude (deg)
+    lat0: float = 71.35              # rectgrid lower-left latitude (deg);
+    # Barrow AK origin (ice_grid.F90:1208) keeps the whole rectangular
+    # domain above set_state_var's 70N ice-edge threshold
     lon0: float = -156.5
 
 

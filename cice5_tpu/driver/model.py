@@ -129,7 +129,9 @@ class Model:
     def forcing_at(self, istep: int) -> Forcing:
         info = self.calendar.info(istep, self.cfg.time.dt)
         return idealized_polar_forcing(self.grid.shape, info.yday,
-                                       dtype=self.cfg.xp_dtype)
+                                       dtype=self.cfg.xp_dtype,
+                                       tlat=self.grid.TLAT,
+                                       tlon=self.grid.TLON)
 
     def step(self, state: State, forcing: Forcing):
         return self._jstep(state, forcing, self.grid)

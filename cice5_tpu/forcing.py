@@ -53,6 +53,7 @@ class Forcing:
     qdp: jnp.ndarray       # deep ocean heat flux (W/m^2)
     hmix: jnp.ndarray      # mixed layer depth (m)
     yday: jnp.ndarray      # fractional day of year (scalar array)
+    coszen: jnp.ndarray    # cosine solar zenith angle (ny, nx)
 
 
 def Tf_from_sss(sss):
@@ -77,17 +78,23 @@ def longwave_parkinson_washington(Tair, cldf):
 def idealized_polar_forcing(shape, yday: float, *, Tair_mean=-15.0,
                             Tair_amp=18.0, wind_speed=5.0, cldf=0.8,
                             sss_val=34.0, hmix_val=20.0,
-                            dtype=jnp.float32) -> Forcing:
+                            dtype=jnp.float32, tlat=None,
+                            tlon=None) -> Forcing:
     """Analytic seasonal polar forcing (the 'oned'/col-config analog):
     seasonal air temperature, daylight-dependent SW, P&W longwave."""
     f = lambda v: jnp.full(shape, v, dtype)
+    from cice5_tpu.models.radiation.dedd import compute_coszen
+    sec = (yday - int(yday)) * 86400.0
+    if tlat is not None:
+        coszen = compute_coszen(tlat, tlon, float(int(yday)), sec).astype(dtype)
+    else:
+        coszen = f(0.3)
     # season: coldest at yday ~ 15
     phase = 2.0 * math.pi * (yday - 196.0) / 365.0
     TairC = Tair_mean + Tair_amp * math.cos(phase)
     Tair = TairC + ct.Tffresh
-    # daylight SW: summer max ~ 280 W/m2
-    fsw = max(0.0, 280.0 * math.cos(phase) * (-1.0))
-    fsw = max(0.0, -280.0 * math.cos(phase))
+    # daylight SW: peaks with the warm season (~ yday 196), max ~ 280 W/m2
+    fsw = max(0.0, 280.0 * math.cos(phase))
     swvdr, swvdf, swidr, swidf = sw_partition(f(fsw))
     Qa = 0.0001 + 0.0003 * max(0.0, (TairC + 30.0) / 30.0)
     flw = longwave_parkinson_washington(f(Tair), cldf)
@@ -100,4 +107,4 @@ def idealized_polar_forcing(shape, yday: float, *, Tair_mean=-15.0,
         sss=sss, sst=Tf_from_sss(sss), uocn=f(0.0), vocn=f(0.0),
         ss_tltx=f(0.0), ss_tlty=f(0.0), frzmlt=f(0.0),
         Tf=Tf_from_sss(sss), qdp=f(0.0), hmix=f(hmix_val),
-        yday=jnp.asarray(yday, dtype))
+        yday=jnp.asarray(yday, dtype), coszen=coszen)

@@ -180,6 +180,10 @@ def rectgrid(cfg: ModelConfig, land_mask: np.ndarray | None = None) -> Grid:
     dlat = g.dy_const / ct.radius * ct.rad_to_deg
     ulon = (g.lon0 + dlon * np.arange(nx))[None, :] * np.ones((ny, 1))
     ulat = (g.lat0 + dlat * np.arange(ny))[:, None] * np.ones((1, nx))
+    # large test domains from the Barrow origin would march past the pole;
+    # clamp (ULAT only feeds fcor, hemisphere masks, and coszen — the metric
+    # arrays are constant on rectgrid)
+    ulat = np.minimum(ulat, 89.99)
     ulon = np.deg2rad(ulon)
     ulat = np.deg2rad(ulat)
 

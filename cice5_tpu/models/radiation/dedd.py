@@ -1,0 +1,575 @@
+"""Delta-Eddington multiple-scattering shortwave radiation.
+
+TPU-native re-expression of the Briegleb & Light delta-Eddington solver in
+/root/reference/source/ice_shortwave.F90: run_dEdd (:1251),
+shortwave_dEdd (:1607), compute_dEdd (:2034, layer IOP setup incl. snow
+grain-radius tables and R_ice/R_pnd/R_snw tuning), solution_dEdd (:3270,
+inhomogeneous-layer adding method with Fresnel refraction layer),
+shortwave_dEdd_set_snow (:3782) / set_pond (:3893), and compute_coszen
+(ice_orbital.F90:63).
+
+Dense re-design: the reference loops compressed cell lists per surface type
+(bare/snow/pond) with inner spectral and per-layer loops. Here all three
+surface types are computed for ALL cells as three dense passes, weighted by
+their fractional areas; the 3 spectral bands and the adding recursion over
+the klev+1 radiation layers are static unrolls; the 32-entry snow IOP tables
+become jnp.interp lookups. Transparent layers fall out of the same formulas
+(R=0, T=1), so no control flow survives into XLA.
+
+The klev = nslyr + nilyr + 1 radiation layers follow the reference exactly:
+[snow SSL, rest of snow layers | pond layers] + [ice SSL, DL, interior].
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from cice5_tpu import constants as ct
+
+NSPINT = 3
+HS_SSL = 0.040       # snow surface scattering layer thickness (m)
+HI_SSL = 0.050       # ice SSL thickness (m)
+HPMIN = 0.005        # minimum allowed melt pond depth (m)
+HP0 = 0.200          # pond depth below which transition to bare ice
+TRMIN = 0.001
+EXP_MIN = math.exp(-10.0)
+REFINDX = 1.310
+CP063, CP455 = 0.063, 0.455
+
+# snow grain radius table (ice_shortwave.F90 rsnw_tab etc.)
+RSNW_TAB = np.array([5, 7, 10, 15, 20, 30, 40, 50, 65, 80, 100, 120, 140,
+                     170, 200, 240, 290, 350, 420, 500, 570, 660, 760, 870,
+                     1000, 1100, 1250, 1400, 1600, 1800, 2000, 2500],
+                    np.float64)
+QS_TAB = np.array([
+    [2.131798, 2.187756, 2.267358], [2.104499, 2.148345, 2.236078],
+    [2.081580, 2.116885, 2.175067], [2.062595, 2.088937, 2.130242],
+    [2.051403, 2.072422, 2.106610], [2.039223, 2.055389, 2.080586],
+    [2.032383, 2.045751, 2.066394], [2.027920, 2.039388, 2.057224],
+    [2.023444, 2.033137, 2.048055], [2.020412, 2.028840, 2.041874],
+    [2.017608, 2.024863, 2.036046], [2.015592, 2.022021, 2.031954],
+    [2.014083, 2.019887, 2.028853], [2.012368, 2.017471, 2.025353],
+    [2.011092, 2.015675, 2.022759], [2.009837, 2.013897, 2.020168],
+    [2.008668, 2.012252, 2.017781], [2.007627, 2.010813, 2.015678],
+    [2.006764, 2.009577, 2.013880], [2.006037, 2.008520, 2.012382],
+    [2.005528, 2.007807, 2.011307], [2.005025, 2.007079, 2.010280],
+    [2.004562, 2.006440, 2.009333], [2.004155, 2.005898, 2.008523],
+    [2.003794, 2.005379, 2.007795], [2.003555, 2.005041, 2.007329],
+    [2.003264, 2.004624, 2.006729], [2.003037, 2.004291, 2.006230],
+    [2.002776, 2.003929, 2.005700], [2.002590, 2.003627, 2.005276],
+    [2.002395, 2.003391, 2.004904], [2.002071, 2.002922, 2.004241]])
+WS_TAB = np.array([
+    [0.9999994, 0.9999673, 0.9954589], [0.9999992, 0.9999547, 0.9938576],
+    [0.9999990, 0.9999382, 0.9917989], [0.9999985, 0.9999123, 0.9889724],
+    [0.9999979, 0.9998844, 0.9866190], [0.9999970, 0.9998317, 0.9823021],
+    [0.9999960, 0.9997800, 0.9785269], [0.9999951, 0.9997288, 0.9751601],
+    [0.9999936, 0.9996531, 0.9706974], [0.9999922, 0.9995783, 0.9667577],
+    [0.9999903, 0.9994798, 0.9621007], [0.9999885, 0.9993825, 0.9579541],
+    [0.9999866, 0.9992862, 0.9541924], [0.9999838, 0.9991434, 0.9490959],
+    [0.9999810, 0.9990025, 0.9444940], [0.9999772, 0.9988171, 0.9389141],
+    [0.9999726, 0.9985890, 0.9325819], [0.9999670, 0.9983199, 0.9256405],
+    [0.9999605, 0.9980117, 0.9181533], [0.9999530, 0.9976663, 0.9101540],
+    [0.9999465, 0.9973693, 0.9035031], [0.9999382, 0.9969939, 0.8953134],
+    [0.9999289, 0.9965848, 0.8865789], [0.9999188, 0.9961434, 0.8773350],
+    [0.9999068, 0.9956323, 0.8668233], [0.9998975, 0.9952464, 0.8589990],
+    [0.9998837, 0.9946782, 0.8476493], [0.9998699, 0.9941218, 0.8367318],
+    [0.9998515, 0.9933966, 0.8227881], [0.9998332, 0.9926888, 0.8095131],
+    [0.9998148, 0.9919968, 0.7968620], [0.9997691, 0.9903277, 0.7677887]])
+GS_TAB = np.array([
+    [0.859913, 0.848003, 0.824415], [0.867130, 0.858150, 0.848445],
+    [0.873381, 0.867221, 0.861714], [0.878368, 0.874879, 0.874036],
+    [0.881462, 0.879661, 0.881299], [0.884361, 0.883903, 0.890184],
+    [0.885937, 0.886256, 0.895393], [0.886931, 0.887769, 0.899072],
+    [0.887894, 0.889255, 0.903285], [0.888515, 0.890236, 0.906588],
+    [0.889073, 0.891127, 0.910152], [0.889452, 0.891750, 0.913100],
+    [0.889730, 0.892213, 0.915621], [0.890026, 0.892723, 0.918831],
+    [0.890238, 0.893099, 0.921540], [0.890441, 0.893474, 0.924581],
+    [0.890618, 0.893816, 0.927701], [0.890762, 0.894123, 0.930737],
+    [0.890881, 0.894397, 0.933568], [0.890975, 0.894645, 0.936148],
+    [0.891035, 0.894822, 0.937989], [0.891097, 0.895020, 0.939949],
+    [0.891147, 0.895212, 0.941727], [0.891189, 0.895399, 0.943339],
+    [0.891225, 0.895601, 0.944915], [0.891248, 0.895745, 0.945950],
+    [0.891277, 0.895951, 0.947288], [0.891299, 0.896142, 0.948438],
+    [0.891323, 0.896388, 0.949762], [0.891340, 0.896623, 0.950916],
+    [0.891356, 0.896851, 0.951945], [0.891386, 0.897399, 0.954156]])
+
+# ice/pond IOPs per band (ice_shortwave.F90 *_mn arrays)
+KI_SSL_MN = (1000.1, 1003.7, 7042.0)
+WI_SSL_MN = (0.9999, 0.9963, 0.9088)
+GI_SSL_MN = (0.94, 0.94, 0.94)
+KI_DL_MN = (100.2, 107.7, 1309.0)
+WI_DL_MN = (0.9980, 0.9287, 0.0305)
+GI_DL_MN = (0.94, 0.94, 0.94)
+KI_INT_MN = (20.2, 27.7, 1445.0)
+WI_INT_MN = (0.9901, 0.7223, 0.0277)
+GI_INT_MN = (0.94, 0.94, 0.94)
+KI_P_SSL_MN = (70.2, 77.7, 1309.0)
+WI_P_SSL_MN = (0.9972, 0.9009, 0.0305)
+GI_P_SSL_MN = (0.94, 0.94, 0.94)
+KI_P_INT_MN = (20.2, 27.7, 1445.0)
+WI_P_INT_MN = (0.9901, 0.7223, 0.0277)
+GI_P_INT_MN = (0.94, 0.94, 0.94)
+KW = (0.20, 12.0, 729.0)
+
+GAUSPT = (0.9894009, 0.9445750, 0.8656312, 0.7554044,
+          0.6178762, 0.4580168, 0.2816036, 0.0950125)
+GAUSWT = (0.0271525, 0.0622535, 0.0951585, 0.1246290,
+          0.1495960, 0.1691565, 0.1826034, 0.1894506)
+
+
+def _tune(kmn, wmn, Rtune, fp, fm):
+    """Scattering-coefficient tuning (ice_shortwave.F90:2560-2650)."""
+    f = fp if Rtune >= 0 else fm
+    sigp = max(kmn * wmn * (1.0 + f * Rtune), 0.0)
+    k = sigp + kmn * (1.0 - wmn)
+    return k, sigp / k
+
+
+def solar_declination(yday):
+    """Solar declination (radians): simple obliquity formula (the
+    shr_orb_decl equivalent for a circular orbit)."""
+    return -0.409105 * jnp.cos(2.0 * ct.pi * (yday + 10.0) / 365.0)
+
+
+def compute_coszen(tlat, tlon, yday, sec):
+    """Cosine solar zenith angle (ice_orbital.F90:63-143)."""
+    delta = solar_declination(yday)
+    hour_angle = (sec / ct.secday - 0.5) * 2.0 * ct.pi + tlon
+    return (jnp.sin(tlat) * jnp.sin(delta)
+            + jnp.cos(tlat) * jnp.cos(delta) * jnp.cos(hour_angle))
+
+
+def set_snow(aicen, vsnon, Tsfc, *, R_snw, rsnw_mlt, dT_mlt, hs0):
+    """Snow fraction/grain radius (shortwave_dEdd_set_snow :3782)."""
+    mask = aicen > ct.puny
+    hs = jnp.where(mask, vsnon / jnp.maximum(aicen, ct.puny), 0.0)
+    fs = jnp.where(hs >= ct.hs_min,
+                   jnp.minimum(hs / hs0, 1.0) if hs0 > ct.puny
+                   else jnp.ones_like(hs), 0.0)
+    dTs = ct.Timelt - Tsfc
+    fT = -jnp.minimum(dTs / dT_mlt - 1.0, 0.0)
+    rsnw_nm = np.clip(500.0 - R_snw * 250.0, 100.0, rsnw_mlt)
+    rsnw = jnp.clip(rsnw_nm + (rsnw_mlt - rsnw_nm) * fT, 100.0, rsnw_mlt)
+    return fs, hs, rsnw
+
+
+def _dedd_solution(tau, w0, g, coszen, srftyp: int, nslyr: int,
+                   albodr, albodf):
+    """Adding method over klev+1 layers (solution_dEdd :3270-3580).
+
+    tau/w0/g: (klev+1, *B). Returns (trndir, trntdr, trndif, rupdir,
+    rupdif, rdndif) each (klev+2, *B)."""
+    klev = tau.shape[0] - 1
+    mu0 = jnp.maximum(coszen, 0.01)
+    mu0n_below = jnp.sqrt(1.0 - (1.0 - mu0 ** 2) / (REFINDX * REFINDX))
+    kfrsnl = 0 if srftyp == 2 else nslyr + 2
+
+    one = jnp.ones_like(mu0)
+    zero = jnp.zeros_like(mu0)
+    trndir = [one]
+    trntdr = [one]
+    trndif = [one]
+    rdndif = [zero]
+    rdirs, tdirs, rdifa, rdifb, tdifa, tdifb, trnlays = \
+        [], [], [], [], [], [], []
+
+    def alpha(w, uu, gg, e):
+        return 0.75 * w * uu * ((1.0 + gg * (1.0 - w))
+                                / (1.0 - e * e * uu * uu))
+
+    def agamm(w, uu, gg, e):
+        return 0.5 * w * ((1.0 + 3.0 * gg * (1.0 - w) * uu * uu)
+                          / (1.0 - e * e * uu * uu))
+
+    for k in range(klev + 1):
+        ftot = g[k] * g[k]
+        ts = (1.0 - w0[k] * ftot) * tau[k]
+        ws = (1.0 - ftot) * w0[k] / jnp.maximum(1.0 - w0[k] * ftot, ct.puny)
+        gs = (g[k] - ftot) / jnp.maximum(1.0 - ftot, ct.puny)
+        ws = jnp.minimum(ws, 1.0 - ct.puny)    # guard el at w=1
+        lm = jnp.sqrt(3.0 * (1.0 - ws) * (1.0 - ws * gs))
+        ue = 1.5 * (1.0 - ws * gs) / jnp.maximum(lm, ct.puny)
+        mu0n = mu0n_below if (srftyp == 2 or k >= kfrsnl) else mu0
+        # guard resonance 1 - lm^2 mu^2 = 0
+        safe_mu = lambda m: jnp.where(jnp.abs(1.0 - lm * lm * m * m) < 1e-6,
+                                      m * (1.0 + 1e-3), m)
+        mu0n_s = safe_mu(mu0n)
+        extins = jnp.maximum(EXP_MIN, jnp.exp(-lm * ts))
+        ne = ((ue + 1.0) ** 2 / extins) - ((ue - 1.0) ** 2 * extins)
+        rdif_a = (ue ** 2 - 1.0) * (1.0 / extins - extins) / ne
+        tdif_a = 4.0 * ue / ne
+        trnlay = jnp.maximum(EXP_MIN, jnp.exp(-ts / mu0n_s))
+        alp = alpha(ws, mu0n_s, gs, lm)
+        gam = agamm(ws, mu0n_s, gs, lm)
+        apg, amg = alp + gam, alp - gam
+        rdir = apg * rdif_a + amg * (tdif_a * trnlay - 1.0)
+        tdir = apg * tdif_a + (amg * rdif_a - apg + 1.0) * trnlay
+
+        # gaussian re-integration of diffuse R/T (:3530-3560)
+        R1, T1 = rdif_a, tdif_a
+        swt = smr = smt = 0.0
+        for mu_g, gwt in zip(GAUSPT, GAUSWT):
+            mu_s = safe_mu(jnp.asarray(mu_g, tau.dtype))
+            trn = jnp.maximum(EXP_MIN, jnp.exp(-ts / mu_s))
+            alp = alpha(ws, mu_s, gs, lm)
+            gam = agamm(ws, mu_s, gs, lm)
+            apg, amg = alp + gam, alp - gam
+            rdr = apg * R1 + amg * T1 * trn - amg
+            tdr = apg * T1 + amg * R1 * trn - apg * trn + trn
+            swt = swt + mu_g * gwt
+            smr = smr + mu_g * gwt * rdr
+            smt = smt + mu_g * gwt * tdr
+        rdif_a = smr / swt
+        tdif_a = smt / swt
+        rdif_b = rdif_a
+        tdif_b = tdif_a
+
+        if k == kfrsnl:
+            # Fresnel refraction layer on top (:3565-3620)
+            R1f = (mu0 - REFINDX * mu0n_below) / (mu0 + REFINDX * mu0n_below)
+            R2f = (REFINDX * mu0 - mu0n_below) / (REFINDX * mu0 + mu0n_below)
+            T1f = 2.0 * mu0 / (mu0 + REFINDX * mu0n_below)
+            T2f = 2.0 * mu0 / (REFINDX * mu0 + mu0n_below)
+            Rf_dir = 0.5 * (R1f * R1f + R2f * R2f)
+            Tf_dir = 0.5 * (T1f * T1f + T2f * T2f) * REFINDX * mu0n_below / mu0
+            Rf_dif_a, Tf_dif_a = CP063, 1.0 - CP063
+            Rf_dif_b, Tf_dif_b = CP455, 1.0 - CP455
+            rintfc = 1.0 / (1.0 - Rf_dif_b * rdif_a)
+            tdir = Tf_dir * tdir + Tf_dir * rdir * Rf_dif_b * rintfc * tdif_a
+            rdir = Rf_dir + Tf_dir * rdir * rintfc * Tf_dif_b
+            rdif_a_new = Rf_dif_a + Tf_dif_a * rdif_a * rintfc * Tf_dif_b
+            rdif_b = rdif_b + tdif_b * Rf_dif_b * rintfc * tdif_a
+            tdif_a_new = tdif_a * rintfc * Tf_dif_a
+            tdif_b = tdif_b * rintfc * Tf_dif_b
+            rdif_a, tdif_a = rdif_a_new, tdif_a_new
+            trnlay = Tf_dir * trnlay
+
+        # zero layer properties where no radiation penetrates (trmin gate)
+        lit = trntdr[k] > TRMIN
+        z = lambda x: jnp.where(lit, x, 0.0)
+        rdir, tdir = z(rdir), z(tdir)
+        rdif_a, rdif_b = z(rdif_a), z(rdif_b)
+        tdif_a, tdif_b = z(tdif_a), z(tdif_b)
+        trnlay = z(trnlay)
+
+        rdirs.append(rdir); tdirs.append(tdir)
+        rdifa.append(rdif_a); rdifb.append(rdif_b)
+        tdifa.append(tdif_a); tdifb.append(tdif_b)
+        trnlays.append(trnlay)
+
+        # downward combination (:3640-3655)
+        trndir.append(trndir[k] * trnlay)
+        refkm1 = 1.0 / (1.0 - rdndif[k] * rdif_a)
+        tdrrdir = trndir[k] * rdir
+        tdndif = trntdr[k] - trndir[k]
+        trntdr.append(trndir[k] * tdir
+                      + (tdndif + tdrrdir * rdndif[k]) * refkm1 * tdif_a)
+        rdndif.append(rdif_b + tdif_b * rdndif[k] * refkm1 * tdif_a)
+        trndif.append(trndif[k] * refkm1 * tdif_a)
+
+    # upward combination from the ocean (:3660-3680)
+    rupdir = [None] * (klev + 2)
+    rupdif = [None] * (klev + 2)
+    rupdir[klev + 1] = albodr * one
+    rupdif[klev + 1] = albodf * one
+    for k in range(klev, -1, -1):
+        refkp1 = 1.0 / (1.0 - rdifb[k] * rupdif[k + 1])
+        rupdir[k] = rdirs[k] + (trnlays[k] * rupdir[k + 1]
+                                + (tdirs[k] - trnlays[k]) * rupdif[k + 1]) \
+            * refkp1 * tdifb[k]
+        rupdif[k] = rdifa[k] + tdifa[k] * rupdif[k + 1] * refkp1 * tdifb[k]
+
+    stack = lambda lst: jnp.stack(lst)
+    return (stack(trndir), stack(trntdr), stack(trndif),
+            stack(rupdir), stack(rupdif), stack(rdndif))
+
+
+class DEddFluxes(NamedTuple):
+    avdr: jnp.ndarray
+    avdf: jnp.ndarray
+    aidr: jnp.ndarray
+    aidf: jnp.ndarray
+    fsfc: jnp.ndarray
+    fint: jnp.ndarray
+    fthru: jnp.ndarray
+    Sabs: jnp.ndarray     # (nslyr, *B)
+    Iabs: jnp.ndarray     # (nilyr, *B)
+    fthrul: jnp.ndarray   # (nilyr+1, *B) penetrating SW at ice interfaces
+
+
+def compute_dEdd(*, nilyr, nslyr, srftyp, coszen, fnidr, swvdr, swvdf,
+                 swidr, swidf, hs, rsnw, hi, hp, R_ice=0.0, R_pnd=0.0,
+                 kalg=0.6) -> DEddFluxes:
+    """Layer IOP setup + 3-band solution + flux partition for one surface
+    type over all cells (compute_dEdd :2034-3050)."""
+    klev = nslyr + nilyr + 1
+    kii = nslyr + 1
+    B = coszen.shape
+    dtype = coszen.dtype
+
+    # tuned ice/pond IOPs (python scalars per band)
+    iops = []
+    for ns in range(NSPINT):
+        k_ssl, w_ssl = _tune(KI_SSL_MN[ns], WI_SSL_MN[ns], R_ice, 0.15, 0.15)
+        k_dl, w_dl = _tune(KI_DL_MN[ns], WI_DL_MN[ns], R_ice, 0.15, 0.15)
+        k_int, w_int = _tune(KI_INT_MN[ns], WI_INT_MN[ns], R_ice, 0.15, 0.15)
+        k_pssl, w_pssl = _tune(KI_P_SSL_MN[ns], WI_P_SSL_MN[ns], R_pnd,
+                               2.0, 0.5)
+        k_pint, w_pint = _tune(KI_P_INT_MN[ns], WI_P_INT_MN[ns], R_pnd,
+                               2.0, 0.5)
+        iops.append(dict(k_ssl=k_ssl, w_ssl=w_ssl, g_ssl=GI_SSL_MN[ns],
+                         k_dl=k_dl, w_dl=w_dl, g_dl=GI_DL_MN[ns],
+                         k_int=k_int, w_int=w_int, g_int=GI_INT_MN[ns],
+                         k_pssl=k_pssl, w_pssl=w_pssl, g_pssl=GI_P_SSL_MN[ns],
+                         k_pint=k_pint, w_pint=w_pint, g_pint=GI_P_INT_MN[ns]))
+
+    # layer thicknesses dzk (ice part; snow/pond part set per srftyp)
+    dz_s = hs / nslyr
+    dzk = [None] * (klev + 1)
+    dzk[0] = jnp.minimum(HS_SSL, dz_s / 2.0)
+    dzk[1] = dz_s - dzk[0]
+    for k in range(2, nslyr + 1):
+        dzk[k] = dz_s
+    dz_i = hi / nilyr
+    dz_ssl = jnp.minimum(jnp.minimum(HI_SSL, hi / 30.0), dz_i / 2.0)
+    dzk[kii] = dz_ssl
+    dzk[kii + 1] = dz_i - dz_ssl
+    for k in range(kii + 2, klev + 1):
+        dzk[k] = dz_i
+    if srftyp == 2:
+        dz_p = hp / (nslyr + 1)
+        for k in range(0, nslyr + 1):
+            dzk[k] = dz_p
+
+    ksrf = 1 if srftyp == 1 else nslyr + 2
+    wghtns2 = 0.67 + (0.78 - 0.67) * (1.0 - fnidr)
+    wghtns3 = 1.0 - wghtns2
+
+    avdr = avdf = aidr = aidf = jnp.zeros(B, dtype)
+    fsfc = fint = fthru = jnp.zeros(B, dtype)
+    Sabs = jnp.zeros((nslyr,) + B, dtype)
+    Iabs = jnp.zeros((nilyr,) + B, dtype)
+    fthrul = jnp.zeros((nilyr + 1,) + B, dtype)
+
+    fr_adj = 1.0 * fnidr + 0.8 * (1.0 - fnidr)    # snow grain factor
+
+    for ns in range(NSPINT):
+        io = iops[ns]
+        taus, w0s, gs = [], [], []
+        # --- layers above the ice ---
+        if srftyp == 0:
+            for k in range(0, nslyr + 1):
+                taus.append(jnp.zeros(B, dtype))
+                w0s.append(jnp.zeros(B, dtype))
+                gs.append(jnp.zeros(B, dtype))
+        elif srftyp == 1:
+            frsnw = fr_adj * rsnw
+            Qs = jnp.interp(frsnw, jnp.asarray(RSNW_TAB, dtype),
+                            jnp.asarray(QS_TAB[:, ns], dtype))
+            ws_t = jnp.interp(frsnw, jnp.asarray(RSNW_TAB, dtype),
+                              jnp.asarray(WS_TAB[:, ns], dtype))
+            gs_t = jnp.interp(frsnw, jnp.asarray(RSNW_TAB, dtype),
+                              jnp.asarray(GS_TAB[:, ns], dtype))
+            ks_coef = Qs * ((ct.rhos / 917.0) * 3.0
+                            / (4.0 * frsnw * 1.0e-6))
+            for k in range(0, nslyr + 1):
+                taus.append(ks_coef * dzk[k])
+                w0s.append(ws_t)
+                gs.append(gs_t)
+        else:   # pond water
+            for k in range(0, nslyr + 1):
+                taus.append(KW[ns] * dzk[k])
+                w0s.append(jnp.zeros(B, dtype))
+                gs.append(jnp.zeros(B, dtype))
+
+        # --- sea ice layers ---
+        if srftyp <= 1:
+            taus.append(io["k_ssl"] * dzk[kii])
+            w0s.append(jnp.full(B, io["w_ssl"], dtype))
+            gs.append(jnp.full(B, io["g_ssl"], dtype))
+            fs_dl = 0.25 * nilyr
+            taus.append(io["k_dl"] * dzk[kii + 1] * fs_dl)
+            w0s.append(jnp.full(B, io["w_dl"], dtype))
+            gs.append(jnp.full(B, io["g_dl"], dtype))
+            for k in range(kii + 2, klev):
+                taus.append(io["k_int"] * dzk[k])
+                w0s.append(jnp.full(B, io["w_int"], dtype))
+                gs.append(jnp.full(B, io["g_int"], dtype))
+            # lowest layer: add algae absorption in visible
+            kabs = io["k_int"] * (1.0 - io["w_int"])
+            if ns == 0:
+                kabs = kabs + kalg * (0.50 / jnp.maximum(dzk[klev], ct.puny))
+            sig = io["k_int"] * io["w_int"]
+            taus.append((kabs + sig) * dzk[klev])
+            w0s.append(sig / (sig + kabs) * jnp.ones(B, dtype)
+                       if ns != 0 else sig / (sig + kabs))
+            gs.append(jnp.full(B, io["g_int"], dtype))
+        else:   # ponded ice, with thin-pond transition (:2800-2860)
+            tr = jnp.clip((hp - HPMIN) / max(HP0 - HPMIN, 1e-6), 0.0, 1.0)
+            blend = jnp.where((hp >= HPMIN) & (hp <= HP0), hp / HP0, 1.0)
+            # SSL
+            sig_i = io["k_ssl"] * io["w_ssl"]
+            sig_p = io["k_pssl"] * io["w_pssl"]
+            sig = sig_i + (sig_p - sig_i) * blend
+            kext = sig + io["k_pssl"] * (1.0 - io["w_pssl"])
+            taus.append(kext * dzk[kii])
+            w0s.append(sig / kext)
+            gs.append(jnp.full(B, io["g_pint"], dtype))
+            # DL
+            fs_dl = 0.25 * nilyr
+            sig_i = io["k_dl"] * io["w_dl"] * fs_dl
+            sig_p = io["k_pint"] * io["w_pint"]
+            sig = sig_i + (sig_p - sig_i) * blend
+            kext = sig + io["k_pint"] * (1.0 - io["w_pint"])
+            taus.append(kext * dzk[kii + 1])
+            w0s.append(sig / kext)
+            gs.append(jnp.full(B, io["g_pint"], dtype))
+            for k in range(kii + 2, klev + 1):
+                sig_i = io["k_int"] * io["w_int"]
+                sig_p = io["k_pint"] * io["w_pint"]
+                sig = sig_i + (sig_p - sig_i) * blend
+                kext = sig + io["k_pint"] * (1.0 - io["w_pint"])
+                taus.append(kext * dzk[k])
+                w0s.append(sig / kext)
+                gs.append(jnp.full(B, io["g_pint"], dtype))
+
+        tau = jnp.stack([jnp.broadcast_to(t, B) for t in taus])
+        w0 = jnp.stack([jnp.broadcast_to(w, B) for w in w0s])
+        g = jnp.stack([jnp.broadcast_to(x, B) for x in gs])
+
+        albo = 0.01 if ns == 0 else 0.0
+        trndir, trntdr, trndif, rupdir, rupdif, rdndif = _dedd_solution(
+            tau, w0, g, coszen, srftyp, nslyr, albo, albo)
+
+        # interface net fluxes (:2880-2910)
+        refk = 1.0 / (1.0 - rdndif * rupdif)
+        dfdir = (trndir + (trntdr - trndir) * (1.0 - rupdif) * refk
+                 - trndir * rupdir * (1.0 - rdndif) * refk)
+        dfdir = jnp.where(dfdir < ct.puny, 0.0, dfdir)
+        dfdif = trndif * (1.0 - rupdif) * refk
+        dfdif = jnp.where(dfdif < ct.puny, 0.0, dfdif)
+
+        if ns == 0:
+            swdr, swdf, wght = swvdr, swvdf, 1.0
+            avdr = rupdir[0]
+            avdf = rupdif[0]
+        else:
+            swdr, swdf = swidr, swidf
+            wght = wghtns2 if ns == 1 else wghtns3
+            aidr = aidr + rupdir[0] * wght
+            aidf = aidf + rupdif[0] * wght
+
+        net = lambda k: dfdir[k] * swdr + dfdif[k] * swdf
+        tmp0 = net(0) * wght
+        tmpks = net(ksrf) * wght
+        tmpkl = net(klev + 1) * wght
+        fsfc = fsfc + tmp0 - tmpks
+        fint = fint + tmpks - tmpkl
+        fthru = fthru + tmpkl
+
+        if srftyp == 1:
+            for k in range(1, nslyr + 1):
+                Sabs = Sabs.at[k - 1].add((net(k) - net(k + 1)) * wght)
+        for k in range(nslyr + 2, nslyr + 2 + nilyr):
+            km, kp = k, k + 1
+            if srftyp == 1 and k == nslyr + 2:
+                km, kp = k - 1, k + 1
+            Iabs = Iabs.at[k - nslyr - 2].add((net(km) - net(kp)) * wght)
+        if ns == 0:
+            for k in range(nslyr + 2, klev + 2):
+                fthrul = fthrul.at[k - nslyr - 2].set(net(k))
+
+    return DEddFluxes(avdr=avdr, avdf=avdf, aidr=aidr, aidf=aidf,
+                      fsfc=fsfc, fint=fint, fthru=fthru, Sabs=Sabs,
+                      Iabs=Iabs, fthrul=fthrul)
+
+
+class DEddResult(NamedTuple):
+    alvdrn: jnp.ndarray
+    alvdfn: jnp.ndarray
+    alidrn: jnp.ndarray
+    alidfn: jnp.ndarray
+    fswsfcn: jnp.ndarray
+    fswintn: jnp.ndarray
+    fswthrun: jnp.ndarray
+    Sswabsn: jnp.ndarray
+    Iswabsn: jnp.ndarray
+    fswpenln: jnp.ndarray
+    albicen: jnp.ndarray
+    albsnon: jnp.ndarray
+    albpndn: jnp.ndarray
+
+
+def shortwave_dEdd(*, nilyr, nslyr, aicen, vicen, vsnon, Tsfcn, apnd, hpnd,
+                   coszen, fnidr, swvdr, swvdf, swidr, swidf,
+                   R_ice=0.0, R_pnd=0.0, R_snw=1.5, dT_mlt=1.5,
+                   rsnw_mlt=1500.0, kalg=0.6, hs0=0.03,
+                   pndaspect=0.8) -> DEddResult:
+    """Full delta-Eddington radiation for ONE category over batch *B
+    (shortwave_dEdd :1607 + the pond/snow property setup of run_dEdd).
+
+    apnd: pond fraction of ice area; hpnd: pond depth. The CESM-style snow
+    infiltration (run_dEdd :1390-1410) reduces effective pond fraction under
+    snow.
+    """
+    mask = aicen > ct.puny
+    netsw = swvdr + swvdf + swidr + swidf
+    lit = mask & (netsw > ct.puny) & (coszen > ct.puny)
+    cz = jnp.maximum(coszen, ct.puny)
+
+    hi = jnp.where(mask, vicen / jnp.maximum(aicen, ct.puny), 0.0)
+    fs, hs, rsnw = set_snow(aicen, vsnon, Tsfcn, R_snw=R_snw,
+                            rsnw_mlt=rsnw_mlt, dT_mlt=dT_mlt, hs0=hs0)
+
+    # pond fraction/depth with snow infiltration (run_dEdd :1385-1412)
+    fp = apnd
+    hp = hpnd
+    asnow = jnp.minimum(hs / max(hs0, 1e-6), 1.0)
+    infl = (hs >= ct.hs_min)
+    fp = jnp.where(infl, (1.0 - asnow) * fp, fp)
+    hp = jnp.where(infl, pndaspect * fp, hp)
+    fp = jnp.where(hp < HPMIN, 0.0, fp)
+    fp = jnp.minimum(fp, 1.0 - fs)
+    fi = jnp.maximum(1.0 - fs - fp, 0.0)
+
+    common = dict(nilyr=nilyr, nslyr=nslyr, coszen=cz, fnidr=fnidr,
+                  swvdr=swvdr, swvdf=swvdf, swidr=swidr, swidf=swidf,
+                  hi=jnp.maximum(hi, ct.puny), hp=hp, rsnw=rsnw,
+                  R_ice=R_ice, R_pnd=R_pnd, kalg=kalg)
+
+    r_bare = compute_dEdd(srftyp=0, hs=jnp.zeros_like(hs), **common)
+    r_snow = compute_dEdd(srftyp=1, hs=jnp.maximum(hs, ct.hs_min), **common)
+    r_pond = compute_dEdd(srftyp=2, hs=jnp.zeros_like(hs), **common)
+
+    def mix(name):
+        return (getattr(r_bare, name) * fi + getattr(r_snow, name) * fs
+                + getattr(r_pond, name) * fp)
+
+    def mixk(name, wshape):
+        return (getattr(r_bare, name) * fi[None]
+                + getattr(r_snow, name) * fs[None]
+                + getattr(r_pond, name) * fp[None])
+
+    L = lit
+    Lk = lit[None]
+    z = jnp.zeros_like(hi)
+    alvdrn = jnp.where(L, mix("avdr"), 0.0)
+    alvdfn = jnp.where(L, mix("avdf"), 0.0)
+    alidrn = jnp.where(L, mix("aidr"), 0.0)
+    alidfn = jnp.where(L, mix("aidf"), 0.0)
+    broadband = lambda r: (ct.awtvdr * r.avdr + ct.awtidr * r.aidr
+                           + ct.awtvdf * r.avdf + ct.awtidf * r.aidf)
+    return DEddResult(
+        alvdrn=alvdrn, alvdfn=alvdfn, alidrn=alidrn, alidfn=alidfn,
+        fswsfcn=jnp.where(L, mix("fsfc"), 0.0),
+        fswintn=jnp.where(L, mix("fint"), 0.0),
+        fswthrun=jnp.where(L, mix("fthru"), 0.0),
+        Sswabsn=jnp.where(Lk, r_snow.Sabs * fs[None], 0.0),
+        Iswabsn=jnp.where(Lk, mixk("Iabs", None), 0.0),
+        fswpenln=jnp.where(Lk, mixk("fthrul", None), 0.0),
+        albicen=jnp.where(L, broadband(r_bare), 0.0),
+        albsnon=jnp.where(L, broadband(r_snow), 0.0),
+        albpndn=jnp.where(L, broadband(r_pond), 0.0))
