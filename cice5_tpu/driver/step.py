@@ -79,6 +79,7 @@ class StepDiag(NamedTuple):
     Tsfc: jnp.ndarray     # cell-mean surface temperature
     therm_converged: jnp.ndarray
     ferr_max: jnp.ndarray
+    faero_ocn: jnp.ndarray   # (n_aero, ny, nx); empty when tr_aero off
 
 
 def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
@@ -105,19 +106,58 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     sst = state.sst if cfg.forcing.oceanmixed_ice else forcing.sst
     sst = jnp.maximum(sst, Tf)
 
-    # ---------------- radiation (CCSM3), per category via vmap ----------
+    # ---------------- radiation per category via vmap -------------------
     sw = cfg.shortwave
+    if sw.shortwave == "dEdd":
+        from cice5_tpu.models.radiation.dedd import shortwave_dEdd
+        swid_tot = forcing.swidr + forcing.swidf
+        fnidr = jnp.where(swid_tot > ct.puny,
+                          forcing.swidr / jnp.maximum(swid_tot, ct.puny), 0.0)
+        if cfg.tracers.tr_pond:
+            apnd_r = trcrn[:, tr.nt_apnd]
+            hpnd_r = trcrn[:, tr.nt_hpnd]
+            if cfg.tracers.tr_pond_lvl:
+                apnd_r = apnd_r * trcrn[:, tr.nt_alvl]
+        else:
+            apnd_r = jnp.zeros_like(aicen)
+            hpnd_r = jnp.zeros_like(aicen)
 
-    def rad_one(aic, vic, vsn, tsf):
-        return shortwave_ccsm3(
-            aic, vic, vsn, tsf, forcing.swvdr, forcing.swvdf,
-            forcing.swidr, forcing.swidf, nilyr=nilyr,
-            albedo_type=sw.albedo_type, albicev=sw.albicev,
-            albicei=sw.albicei, albsnowv=sw.albsnowv, albsnowi=sw.albsnowi,
-            ahmax=sw.ahmax, heat_capacity=cfg.thermo.ktherm != 0)
+        def rad_one_dedd(aic, vic, vsn, tsf, ap, hp):
+            return shortwave_dEdd(
+                nilyr=nilyr, nslyr=nslyr, aicen=aic, vicen=vic, vsnon=vsn,
+                Tsfcn=tsf, apnd=ap, hpnd=hp, coszen=forcing.coszen,
+                fnidr=fnidr, swvdr=forcing.swvdr, swvdf=forcing.swvdf,
+                swidr=forcing.swidr, swidf=forcing.swidf,
+                R_ice=sw.R_ice, R_pnd=sw.R_pnd, R_snw=sw.R_snw,
+                dT_mlt=sw.dT_mlt, rsnw_mlt=sw.rsnw_mlt, kalg=sw.kalg,
+                hs0=cfg.tracers.hs0, pndaspect=cfg.tracers.pndaspect)
 
-    alb, absr = jax.vmap(rad_one)(aicen, vicen, vsnon, Tsfcn)
-    Sswabsn = jnp.zeros((ncat, nslyr, ny, nx), dtype)
+        de = jax.vmap(rad_one_dedd)(aicen, vicen, vsnon, Tsfcn, apnd_r,
+                                    hpnd_r)
+        from cice5_tpu.models.radiation.ccsm3 import Albedos, AbsorbedSolar
+        zc = jnp.zeros_like(aicen)
+        alb = Albedos(alvdrn=de.alvdrn, alidrn=de.alidrn, alvdfn=de.alvdfn,
+                      alidfn=de.alidfn, alvdrni=de.alvdrn,
+                      alidrni=de.alidrn, alvdfni=de.alvdfn,
+                      alidfni=de.alidfn, alvdrns=zc, alidrns=zc,
+                      alvdfns=zc, alidfns=zc, albin=de.albicen,
+                      albsn=de.albsnon)
+        absr = AbsorbedSolar(fswsfc=de.fswsfcn, fswint=de.fswintn,
+                             fswthru=de.fswthrun, Iswabs=de.Iswabsn,
+                             fswpenl=de.fswpenln)
+        Sswabsn = de.Sswabsn
+    else:
+        def rad_one(aic, vic, vsn, tsf):
+            return shortwave_ccsm3(
+                aic, vic, vsn, tsf, forcing.swvdr, forcing.swvdf,
+                forcing.swidr, forcing.swidf, nilyr=nilyr,
+                albedo_type=sw.albedo_type, albicev=sw.albicev,
+                albicei=sw.albicei, albsnowv=sw.albsnowv,
+                albsnowi=sw.albsnowi, ahmax=sw.ahmax,
+                heat_capacity=cfg.thermo.ktherm != 0)
+
+        alb, absr = jax.vmap(rad_one)(aicen, vicen, vsnon, Tsfcn)
+        Sswabsn = jnp.zeros((ncat, nslyr, ny, nx), dtype)
 
     # ---------------- bottom flux & lateral melt potential --------------
     frzmlt = state.frzmlt if cfg.forcing.oceanmixed_ice else forcing.frzmlt
@@ -212,6 +252,37 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         trcrn = trcrn.at[:, tr.nt_FY].set(
             update_FYarea(dt, forcing.yday, trcrn[:, tr.nt_FY], aicen,
                           nhmask[None]))
+    if tcfg.tr_aero:
+        # aerosol column update (ice_step_mod.F90:576-600 -> update_aerosol)
+        from cice5_tpu.models.tracers.aerosol import (faero_default,
+                                                      update_aerosol)
+        na = tcfg.n_aero
+        a0 = tr.nt_aero
+        # (ncat, na, 2, ny, nx) snow and ice stacks from the tracer array
+        asno = jnp.stack(
+            [trcrn[:, a0 + 4 * k:a0 + 4 * k + 2] for k in range(na)], axis=1)
+        aice_st = jnp.stack(
+            [trcrn[:, a0 + 4 * k + 2:a0 + 4 * k + 4] for k in range(na)],
+            axis=1)
+        # -> (na, 2, ncat, ny, nx) so species lead and ncat is a batch dim
+        asno = jnp.moveaxis(asno, 0, 2)
+        aice_st = jnp.moveaxis(aice_st, 0, 2)
+        faero_atm = faero_default(na, (ny, nx), dtype)
+        ares = update_aerosol(
+            dt, meltt=tres.meltt, melts=tres.melts, meltb=tres.meltb,
+            congel=tres.congel, snoice=tres.snoice,
+            fsnow=forcing.fsnow[None],
+            aerosno=asno, aeroice=aice_st,
+            aice_old=state.aicen, vice_old=state.vicen,
+            vsno_old=state.vsnon, aicen=aicen, vicen=vicen, vsnon=vsnon,
+            faero_atm=faero_atm[:, None], nilyr=nilyr, nslyr=nslyr)
+        for k in range(na):
+            trcrn = trcrn.at[:, a0 + 4 * k:a0 + 4 * k + 2].set(
+                jnp.moveaxis(ares.aerosno[k], 1, 0))
+            trcrn = trcrn.at[:, a0 + 4 * k + 2:a0 + 4 * k + 4].set(
+                jnp.moveaxis(ares.aeroice[k], 1, 0))
+        faero_ocn = jnp.sum(ares.faero_ocn, axis=1)   # sum over categories
+
     if tcfg.tr_pond:
         rfrac = tcfg.rfracmin + (tcfg.rfracmax - tcfg.rfracmin) * aice
         if tcfg.tr_pond_cesm:
@@ -292,6 +363,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     uvel, vvel = state.uvel, state.vvel
     stressp, stressm, stress12 = state.stressp, state.stressm, state.stress12
     iceumask = state.iceumask
+    a11n, a12n = state.a11n, state.a12n
     strocnxT, strocnyT = state.strocnxT, state.strocnyT
     divu = jnp.zeros((ny, nx), dtype)
     shear_d = jnp.zeros((ny, nx), dtype)
@@ -314,11 +386,24 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                 strength = strength_hibler(agg.aice, agg.vice,
                                            Pstar=cfg.dyn.Pstar,
                                            Cstar=cfg.dyn.Cstar)
-            ev = evp(dt_dyn, p, grid, topo, aice=agg.aice, vice=agg.vice,
-                     vsno=agg.vsno, strength=strength, strairxT=strairxT,
-                     strairyT=strairyT, uocn=forcing.uocn, vocn=forcing.vocn,
-                     uvel=uvel, vvel=vvel, stressp=stressp, stressm=stressm,
-                     stress12=stress12, iceumask=iceumask)
+            if cfg.dyn.kdyn == 2:
+                from cice5_tpu.models.dynamics.eap import eap
+                er = eap(dt_dyn, p, grid, topo, aice=agg.aice,
+                         vice=agg.vice, vsno=agg.vsno, strength=strength,
+                         strairxT=strairxT, strairyT=strairyT,
+                         uocn=forcing.uocn, vocn=forcing.vocn,
+                         uvel=uvel, vvel=vvel, stressp=stressp,
+                         stressm=stressm, stress12=stress12,
+                         iceumask=iceumask, a11n=a11n, a12n=a12n)
+                ev = er.evp
+                a11n, a12n = er.a11n, er.a12n
+            else:
+                ev = evp(dt_dyn, p, grid, topo, aice=agg.aice, vice=agg.vice,
+                         vsno=agg.vsno, strength=strength, strairxT=strairxT,
+                         strairyT=strairyT, uocn=forcing.uocn,
+                         vocn=forcing.vocn, uvel=uvel, vvel=vvel,
+                         stressp=stressp, stressm=stressm,
+                         stress12=stress12, iceumask=iceumask)
             uvel, vvel = ev.uvel, ev.vvel
             stressp, stressm, stress12 = ev.stressp, ev.stressm, ev.stress12
             iceumask = ev.iceumask
@@ -391,7 +476,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
 
     new_state = state.replace(
         aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
-        uvel=uvel, vvel=vvel, stressp=stressp, stressm=stressm,
+        uvel=uvel, vvel=vvel, a11n=a11n, a12n=a12n,
+        stressp=stressp, stressm=stressm,
         stress12=stress12, iceumask=iceumask, strocnxT=strocnxT,
         strocnyT=strocnyT, frzmlt=frzmlt_out, scale_factor=scale_factor,
         sst=sst_new)
@@ -406,7 +492,9 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         dardg1dt=dardg1dt, dvirdgdt=dvirdgdt, divu=divu, shear=shear_d,
         alvdr=alvdr, alidf=alidf, Tsfc=aggf.trcr[tr.nt_Tsfc],
         therm_converged=jnp.all(tres.converged),
-        ferr_max=jnp.max(tres.ferr))
+        ferr_max=jnp.max(tres.ferr),
+        faero_ocn=(faero_ocn if tcfg.tr_aero
+                   else jnp.zeros((0, ny, nx), dtype)))
     return new_state, diag
 
 

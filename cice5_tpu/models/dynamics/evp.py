@@ -60,31 +60,14 @@ def stress_kernel(p: dyn.EVPParams, uvE, vvE, stress, *, maskR, strengthR,
     gR: dict of region metric arrays (dxt, dyt, dxhy, dyhx, cxp, cyp, cxm,
     cym, tarear, tinyarea).
     """
-    u00, uW = uvE[1:, 1:], uvE[1:, :-1]
-    uS, uSW = uvE[:-1, 1:], uvE[:-1, :-1]
-    v00, vW = vvE[1:, 1:], vvE[1:, :-1]
-    vS, vSW = vvE[:-1, 1:], vvE[:-1, :-1]
-
     dxt, dyt = gR["dxt"], gR["dyt"]
     dxhy, dyhx = gR["dxhy"], gR["dyhx"]
-    cxp, cyp, cxm, cym = gR["cxp"], gR["cyp"], gR["cxm"], gR["cym"]
     tarear, tinyarea = gR["tarear"], gR["tinyarea"]
 
     # --- strain rates * area (ice_dyn_evp.F90:627-655) ---
-    divune = cyp * u00 - dyt * uW + cxp * v00 - dxt * vS
-    divunw = cym * uW + dyt * u00 + cxp * vW - dxt * vSW
-    divusw = cym * uSW + dyt * uS + cxm * vSW + dxt * vW
-    divuse = cyp * uS - dyt * uSW + cxm * vS + dxt * v00
-
-    tensionne = -cym * u00 - dyt * uW + cxm * v00 + dxt * vS
-    tensionnw = -cyp * uW + dyt * u00 + cxm * vW + dxt * vSW
-    tensionsw = -cyp * uSW + dyt * uS + cxp * vSW - dxt * vW
-    tensionse = -cym * uS - dyt * uSW + cxp * vS - dxt * v00
-
-    shearne = -cym * v00 - dyt * vW - cxm * u00 - dxt * uS
-    shearnw = -cyp * vW + dyt * v00 - cxm * uW - dxt * uSW
-    shearsw = -cyp * vSW + dyt * vS - cxp * uSW + dxt * uW
-    shearse = -cym * vS - dyt * vSW - cxp * uS + dxt * u00
+    ((divune, divunw, divusw, divuse),
+     (tensionne, tensionnw, tensionsw, tensionse),
+     (shearne, shearnw, shearsw, shearse)) = strain_rates(uvE, vvE, gR)
 
     ecci = p.ecci
     Deltane = jnp.sqrt(divune ** 2 + ecci * (tensionne ** 2 + shearne ** 2))
@@ -133,9 +116,53 @@ def stress_kernel(p: dyn.EVPParams, uvE, vvE, stress, *, maskR, strengthR,
     z = jnp.zeros_like(sp1)
     comps = [jnp.where(m, s, z) for s in
              (sp1, sp2, sp3, sp4, sm1, sm2, sm3, sm4, s121, s122, s123, s124)]
-    sp1, sp2, sp3, sp4, sm1, sm2, sm3, sm4, s121, s122, s123, s124 = comps
 
-    # --- stress combinations for the momentum equation (:722-849) ---
+    str8 = stress_divergence(comps, dxt, dyt, dxhy, dyhx, maskR)
+    stress_new = jnp.stack(comps)
+    return StressResult(stress=stress_new, str8=str8, divu=divu, shear=shear,
+                        rdg_conv=rdg_conv, rdg_shear=rdg_shear,
+                        prs_sig=prs_sig)
+
+
+def strain_rates(uvE, vvE, gR):
+    """4-corner strain rates * area (ice_dyn_evp.F90:627-655; identical in
+    ice_dyn_eap.F90:1196-1228). Returns (div, tension, shear) tuples in
+    corner order (ne, nw, sw, se)."""
+    u00, uW = uvE[1:, 1:], uvE[1:, :-1]
+    uS, uSW = uvE[:-1, 1:], uvE[:-1, :-1]
+    v00, vW = vvE[1:, 1:], vvE[1:, :-1]
+    vS, vSW = vvE[:-1, 1:], vvE[:-1, :-1]
+    dxt, dyt = gR["dxt"], gR["dyt"]
+    cxp, cyp, cxm, cym = gR["cxp"], gR["cyp"], gR["cxm"], gR["cym"]
+
+    divune = cyp * u00 - dyt * uW + cxp * v00 - dxt * vS
+    divunw = cym * uW + dyt * u00 + cxp * vW - dxt * vSW
+    divusw = cym * uSW + dyt * uS + cxm * vSW + dxt * vW
+    divuse = cyp * uS - dyt * uSW + cxm * vS + dxt * v00
+
+    tensionne = -cym * u00 - dyt * uW + cxm * v00 + dxt * vS
+    tensionnw = -cyp * uW + dyt * u00 + cxm * vW + dxt * vSW
+    tensionsw = -cyp * uSW + dyt * uS + cxp * vSW - dxt * vW
+    tensionse = -cym * uS - dyt * uSW + cxp * vS - dxt * v00
+
+    shearne = -cym * v00 - dyt * vW - cxm * u00 - dxt * uS
+    shearnw = -cyp * vW + dyt * v00 - cxm * uW - dxt * uSW
+    shearsw = -cyp * vSW + dyt * vS - cxp * uSW + dxt * uW
+    shearse = -cym * vS - dyt * vSW - cxp * uS + dxt * u00
+
+    return ((divune, divunw, divusw, divuse),
+            (tensionne, tensionnw, tensionsw, tensionse),
+            (shearne, shearnw, shearsw, shearse))
+
+
+def stress_divergence(comps, dxt, dyt, dxhy, dyhx, maskR):
+    """Stress-divergence combinations str1..str8 for the momentum equation
+    (ice_dyn_evp.F90:722-849; identical block in ice_dyn_eap.F90:1369-1465).
+    comps: 12 region arrays [sp1..4, sm1..4, s12_1..4]."""
+    sp1, sp2, sp3, sp4, sm1, sm2, sm3, sm4, s121, s122, s123, s124 = comps
+    m = maskR
+    z = jnp.zeros_like(sp1)
+
     ssigpn = sp1 + sp2
     ssigps = sp3 + sp4
     ssigpe = sp1 + sp4
@@ -205,12 +232,8 @@ def stress_kernel(p: dyn.EVPParams, uvE, vvE, stress, *, maskR, strengthR,
     str8c = strp_w - strm_w + str12sn - dyhx * (csigpsw + csigmsw) \
         + dxhy * csig12sw
 
-    str8 = jnp.stack([jnp.where(m, s, z) for s in
+    return jnp.stack([jnp.where(m, s, z) for s in
                       (str1, str2, str3, str4, str5, str6, str7, str8c)])
-    stress_new = jnp.stack(comps)
-    return StressResult(stress=stress_new, str8=str8, divu=divu, shear=shear,
-                        rdg_conv=rdg_conv, rdg_shear=rdg_shear,
-                        prs_sig=prs_sig)
 
 
 class EVPResult(NamedTuple):

@@ -134,7 +134,8 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
     ncat = aicen.shape[0]
     B = aicen.shape[1:]
     dtype = aicen.dtype
-    hmax = list(hin_max)
+    # plain floats: numpy scalars would strongly promote f32 arrays under x64
+    hmax = [float(h) for h in hin_max]
     hmax[ncat] = 1.0e8          # ridge_prep: all ridged ice thinner than top
 
     asum = aice0 + jnp.sum(aicen, axis=0)

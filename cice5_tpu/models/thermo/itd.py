@@ -63,7 +63,9 @@ def category_bounds(ncat: int, kitd: int = 1, kcatbound: int = 1,
                6: [0.15, 0.30, 0.70, 1.20, 2.00, 999.0],
                7: [0.10, 0.15, 0.30, 0.70, 1.20, 2.00, 999.0]}
         hin_max[1:] = wmo[ncat]
-    return hin_max
+    # tuple of Python floats: numpy f64 scalars would strongly promote f32
+    # arrays under jax_enable_x64 wherever hin_max[k] enters jnp arithmetic
+    return tuple(float(h) for h in hin_max)
 
 
 # ----------------------------------------------------------------------
@@ -298,7 +300,9 @@ def linear_itd(tr: TracerRegistry, hin_max, nslyr, *, aicen_init, vicen_init,
     ncat = aicen.shape[0]
     B = aicen.shape[1:]
     dtype = aicen.dtype
-    hmax = list(hin_max)
+    # plain Python floats: numpy scalars would strongly promote f32 arrays
+    # to f64 under jax_enable_x64
+    hmax = [float(h) for h in hin_max]
     hmax[ncat] = 999.9
 
     safe = lambda v, a: jnp.where(a > ct.puny, v / jnp.maximum(a, ct.puny), 0.0)
@@ -468,7 +472,9 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
     in category 1 (or spread over categories when open water is scarce)."""
     ncat = aicen.shape[0]
     B = aicen.shape[1:]
-    hi0max = hin_max[1] * 0.9 if ncat > 1 else ct.bignum
+    # float(): numpy scalars would strongly promote f32 arrays under x64
+    hi0max = float(hin_max[1]) * 0.9 if ncat > 1 else ct.bignum
+    salinz = jnp.asarray(salinz, aicen.dtype)   # avoid f64 promotion
 
     qi0new = -ct.rhoi * ct.Lfresh
     fnew = jnp.maximum(frzmlt, 0.0)

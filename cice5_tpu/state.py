@@ -154,6 +154,11 @@ class State:
     # slab-ocean prognostic SST (used when forcing.oceanmixed_ice); carried
     # always so the pytree structure is config-independent at this level.
     sst: jnp.ndarray
+    # EAP per-corner structure tensor (4, ny, nx); restart fields for kdyn=2
+    # (ice_dyn_eap.F90:1872-1902 write_restart_eap). Init 0.5/0.0; inert for
+    # other dynamics options.
+    a11n: jnp.ndarray
+    a12n: jnp.ndarray
 
     @property
     def aice(self):
@@ -186,4 +191,6 @@ def zeros_state(cfg: ModelConfig, tr: TracerRegistry) -> State:
         strocnyT=z2(),
         frzmlt=z2(),
         sst=z2(),
+        a11n=jnp.full((4, ny, nx), 0.5, dt_),
+        a12n=jnp.zeros((4, ny, nx), dt_),
     )
