@@ -121,6 +121,17 @@ class TracerConfig:
     tr_brine: bool = False
     n_aero: int = 0
     skl_bgc: bool = False
+    # skeletal-layer BGC tracer switches (ice_zbgc.F90 zbgc_nml; algal N is
+    # always carried when skl_bgc is on)
+    tr_bgc_Nit_sk: bool = True
+    tr_bgc_C_sk: bool = True
+    tr_bgc_chl_sk: bool = True
+    tr_bgc_Am_sk: bool = True
+    tr_bgc_Sil_sk: bool = True
+    tr_bgc_DMSPp_sk: bool = True
+    tr_bgc_DMSPd_sk: bool = True
+    tr_bgc_DMS_sk: bool = True
+    bgc_flux_type: str = "Jin2006"   # Jin2006 | constant
     # pond params (ice_init.F90 ponds_nml)
     hs0: float = 0.03
     hs1: float = 0.03

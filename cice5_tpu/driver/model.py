@@ -84,10 +84,14 @@ def init_state(cfg: ModelConfig, grid: Grid, tr, hin_max, salinz,
         zfrac = (k + 0.5) / cfg.nilyr
         Ti = jnp.minimum(Tsfc0 + (Tf - Tsfc0) * zfrac, Tmltz[k] - 0.1)
         qk = thshared.ice_enthalpy(Ti, Tmltz[k])
+        if cfg.thermo.ktherm == 0:   # zero-layer: latent heat only
+            qk = jnp.full_like(qk, -ct.rhoi * ct.Lfresh)
         trcrn = trcrn.at[:, tr.nt_qice + k].set(jnp.where(msk[None], qk, 0.0))
         trcrn = trcrn.at[:, tr.nt_sice + k].set(
             jnp.where(msk[None], sal[k], 0.0))
     qs = thshared.snow_enthalpy(jnp.minimum(Tsfc0, -1.0))
+    if cfg.thermo.ktherm == 0:
+        qs = jnp.full_like(qs, -ct.rhos * ct.Lfresh)
     for k in range(cfg.nslyr):
         trcrn = trcrn.at[:, tr.nt_qsno + k].set(
             jnp.where(msk[None], qs, -ct.rhos * ct.Lfresh))

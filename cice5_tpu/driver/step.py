@@ -80,6 +80,9 @@ class StepDiag(NamedTuple):
     therm_converged: jnp.ndarray
     ferr_max: jnp.ndarray
     faero_ocn: jnp.ndarray   # (n_aero, ny, nx); empty when tr_aero off
+    flux_bio: jnp.ndarray    # (nbtrcr, ny, nx) BGC flux to ocean; empty
+    PP_net: jnp.ndarray      # net primary production (mg C/m^2/s)
+    grow_net: jnp.ndarray    # net specific algal growth (1/s)
 
 
 def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
@@ -321,6 +324,60 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
             trcrn = trcrn.at[:, tr.nt_hpnd].set(hp)
             trcrn = trcrn.at[:, tr.nt_ipnd].set(ip)
 
+    # ---------------- biogeochemistry (CICE_RunMod.F90:179) --------------
+    first_ice = state.first_ice
+    if tcfg.tr_brine or tcfg.skl_bgc:
+        from cice5_tpu.models.tracers import algae, brine
+        aicen_i, vicen_i = state.aicen, state.vicen
+        hin_old_c = jnp.where(aicen_i > ct.puny,
+                              vicen_i / jnp.maximum(aicen_i, ct.puny), 0.0)
+        first_ice = jnp.where(aicen_i > ct.puny, first_ice, 1.0)
+
+        if tcfg.tr_brine:
+            fbri = trcrn[:, tr.nt_fbri]
+            fbri = jnp.where(aicen_i > ct.puny, fbri, 1.0)
+            pf = brine.preflushing_changes(
+                aicen=aicen, vicen=vicen, vsnon=vsnon,
+                meltb=tres.meltb, meltt=tres.meltt, congel=tres.congel,
+                snoice=tres.snoice, hice_old=hin_old_c, fbri=fbri,
+                first_ice=first_ice)
+            ms = brine.compute_microS_mushy(
+                jnp.moveaxis(trcrn[:, tr.nt_sice:tr.nt_sice + nilyr], 1, -1),
+                jnp.moveaxis(trcrn[:, tr.nt_qice:tr.nt_qice + nilyr], 1, -1),
+                pf.hin_old, pf.hbr_old,
+                jnp.broadcast_to(forcing.sss, aicen.shape),
+                jnp.broadcast_to(sst, aicen.shape), nblyr=cfg.nilyr)
+            hb = brine.update_hbrine(
+                dt, meltb=tres.meltb, meltt=tres.meltt, melts=tres.melts,
+                hin=pf.hin, hsn=pf.hsn, hin_old=pf.hin_old,
+                hbr_old=jnp.minimum(pf.hbr_old, brine.MAXHBR * pf.hin_old),
+                dhS_top=pf.dhbr_top, dhS_bottom=pf.dhbr_bot,
+                kperm=ms.kperm, zphi_min=ms.zphi_min)
+            trcrn = trcrn.at[:, tr.nt_fbri].set(
+                jnp.where(aicen > ct.puny, hb.fbri, pf.fbri))
+
+        if tcfg.skl_bgc:
+            b0 = tr.nt_bgc[0]
+            nb = tr.nbtrcr
+            conc = jnp.moveaxis(trcrn[:, b0:b0 + nb], 1, 0)  # (nb, ncat,...)
+            ob = algae.default_ocean_bio(tr, (ny, nx), dtype)[:, None]
+            sk = algae.skl_biogeochemistry(
+                dt, tr, conc=conc, ocean_bio=ob, aicen=aicen,
+                meltb=tres.meltb, congel=tres.congel,
+                fswthru=absr.fswthru, first_ice=first_ice,
+                flux_type=tcfg.bgc_flux_type)
+            trcrn = trcrn.at[:, b0:b0 + nb].set(jnp.moveaxis(sk.conc, 0, 1))
+            # merge to cell means (ice_zbgc.F90:770-840)
+            flux_bio = jnp.sum(sk.flux_bio * aicen[None], axis=1)
+            iN = list(tr.bgc_names).index("N")
+            R_gC2molC = 12.01
+            PP_net = jnp.sum(
+                sk.conc[iN] * algae.PHI_SK * sk.grow_N
+                * (1.0 - algae.FR_RESP) * algae.R_C2N * R_gC2molC * aicen,
+                axis=0)
+            grow_net = jnp.sum(sk.grow_N * algae.PHI_SK * aicen, axis=0)
+        first_ice = jnp.where(aicen > ct.puny, 0.0, 1.0)
+
     # ---------------- step_therm2: ITD evolution -------------------------
     aicen_init_itd = state.aicen       # pre-thermo, for linear_itd
     vicen_init_itd = state.vicen
@@ -477,6 +534,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     new_state = state.replace(
         aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
         uvel=uvel, vvel=vvel, a11n=a11n, a12n=a12n,
+        first_ice=first_ice,
         stressp=stressp, stressm=stressm,
         stress12=stress12, iceumask=iceumask, strocnxT=strocnxT,
         strocnyT=strocnyT, frzmlt=frzmlt_out, scale_factor=scale_factor,
@@ -494,7 +552,12 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         therm_converged=jnp.all(tres.converged),
         ferr_max=jnp.max(tres.ferr),
         faero_ocn=(faero_ocn if tcfg.tr_aero
-                   else jnp.zeros((0, ny, nx), dtype)))
+                   else jnp.zeros((0, ny, nx), dtype)),
+        flux_bio=(flux_bio if tcfg.skl_bgc
+                  else jnp.zeros((0, ny, nx), dtype)),
+        PP_net=(PP_net if tcfg.skl_bgc else jnp.zeros((ny, nx), dtype)),
+        grow_net=(grow_net if tcfg.skl_bgc
+                  else jnp.zeros((ny, nx), dtype)))
     return new_state, diag
 
 

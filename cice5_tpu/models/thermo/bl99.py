@@ -52,6 +52,7 @@ class BL99Result(NamedTuple):
     Sswabs: jnp.ndarray
     Iswabs: jnp.ndarray
     converged: jnp.ndarray
+    niter: jnp.ndarray          # solver iterations used (diagnostic)
 
 
 def conductivity(l_snow, hilyr, hslyr, zTin, zSin, *, nilyr, nslyr,
@@ -433,4 +434,5 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
         fswint=jnp.where(m, fswint, 0.0),
         Sswabs=jnp.where(m[None], Sswabs, 0.0),
         Iswabs=jnp.where(m[None], Iswabs, 0.0),
-        converged=final.converged | ~m)
+        converged=final.converged | ~m,
+        niter=final.niter)

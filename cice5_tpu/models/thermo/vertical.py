@@ -406,7 +406,8 @@ def thermo_vertical(dt, cfg, *, aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
     """
     nilyr, nslyr = cfg.nilyr, cfg.nslyr
     th = cfg.thermo
-    l_brine = th.saltmax > shared.min_salin
+    # l_brine also requires heat capacity (ice_therm_vertical.F90:562-566)
+    l_brine = th.saltmax > shared.min_salin and th.ktherm != 0
     mask = aicen > ct.puny
 
     ai = jnp.maximum(aicen, ct.puny)
@@ -462,6 +463,36 @@ def thermo_vertical(dt, cfg, *, aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
         hslyr = mr.hslyr
         snoice_m = mr.snoice
         fadvocn = mr.fadvocn
+    elif th.ktherm == 0:
+        # Semtner zero-layer: solve the surface balance only; enthalpies
+        # stay at the latent-only values (ice_therm_vertical.F90:369-400)
+        from cice5_tpu.models.thermo import zerolayer
+        zr = zerolayer.zerolayer_temperature(
+            dt, mask=mask, rhoa=rhoa, flw=flw, potT=potT, Qa=Qa,
+            shcoef=shcoef, lhcoef=lhcoef, fswsfc=fswsfc, hilyr=hilyr,
+            hslyr=hslyr, nilyr=nilyr, nslyr=nslyr, Tsf=Tsf, Tbot=Tbot,
+            ksno=th.ksno)
+
+        class _R:
+            pass
+        r = _R()
+        r.Tsf = zr.Tsf
+        r.zqin = jnp.full_like(zqin, -ct.rhoi * ct.Lfresh)
+        r.zqsn = jnp.full_like(zqsn, -ct.rhos * ct.Lfresh)
+        r.fsensn = zr.fsensn
+        r.flatn = zr.flatn
+        r.flwoutn = zr.flwoutn
+        r.fsurfn = zr.fsurfn
+        r.fcondtopn = zr.fcondtopn
+        r.fcondbot = zr.fcondbot
+        r.fswsfc = fswsfc
+        r.fswint = jnp.zeros_like(fswsfc)
+        r.converged = zr.converged
+        zSin_cur = zSin
+        snoice_m = jnp.zeros_like(Tsf)
+        fadvocn = jnp.zeros_like(Tsf)
+        einit = (jnp.sum(hslyr[None] * r.zqsn, axis=0)
+                 + jnp.sum(hilyr[None] * r.zqin, axis=0))
     else:
         r = bl99.temperature_changes(
             dt, nilyr=nilyr, nslyr=nslyr, conduct=th.conduct, ksno=th.ksno,

@@ -52,6 +52,16 @@ class TracerRegistry:
     nt_ipnd: int = -1
     nt_aero: int = -1
     nt_fbri: int = -1
+    # skeletal-layer BGC (ice_zbgc.F90:226-276): bgc_names in nlt order,
+    # nt_bgc aligned trcrn slots, bgc_type 1.0=dissolved (flows with brine)
+    # / 0.0=mobile-phase (algae etc.; ice_zbgc.F90:321-329)
+    bgc_names: tuple[str, ...] = ()
+    nt_bgc: tuple[int, ...] = ()
+    bgc_type: tuple[float, ...] = ()
+
+    @property
+    def nbtrcr(self) -> int:
+        return len(self.nt_bgc)
 
     @property
     def has_dependents(self) -> tuple[bool, ...]:
@@ -110,6 +120,27 @@ def build_tracer_registry(cfg: ModelConfig) -> TracerRegistry:
     if t.tr_brine:
         add("fbri", 1, DEP_VICE)
 
+    # skeletal-layer BGC tracers, nlt assignment order of
+    # ice_zbgc.F90:226-276 (algal N is unconditional under skl_bgc);
+    # all depend on area (trcr_depend = 0, ice_zbgc.F90:311-319)
+    bgc_names: list[str] = []
+    bgc_type: list[float] = []
+    if t.skl_bgc:
+        def addb(name: str, on: bool, typ: float):
+            if on:
+                add(f"bgc_{name}", 1, DEP_AICE)
+                bgc_names.append(name)
+                bgc_type.append(typ)
+        addb("N", True, 0.0)
+        addb("NO", t.tr_bgc_Nit_sk, 1.0)
+        addb("C", t.tr_bgc_C_sk, 0.0)
+        addb("chl", t.tr_bgc_chl_sk, 0.0)
+        addb("NH", t.tr_bgc_Am_sk, 1.0)
+        addb("Sil", t.tr_bgc_Sil_sk, 1.0)
+        addb("DMSPp", t.tr_bgc_DMSPp_sk, 0.0)
+        addb("DMSPd", t.tr_bgc_DMSPd_sk, 1.0)
+        addb("DMS", t.tr_bgc_DMS_sk, 1.0)
+
     first_aero = idx.get(f"aerosno1_0", -1)
     return TracerRegistry(
         ntrcr=len(names), names=tuple(names), depend=tuple(depend),
@@ -120,6 +151,9 @@ def build_tracer_registry(cfg: ModelConfig) -> TracerRegistry:
         nt_apnd=idx.get("apnd", -1), nt_hpnd=idx.get("hpnd", -1),
         nt_ipnd=idx.get("ipnd", -1), nt_aero=first_aero,
         nt_fbri=idx.get("fbri", -1),
+        bgc_names=tuple(bgc_names),
+        nt_bgc=tuple(idx[f"bgc_{n}"] for n in bgc_names),
+        bgc_type=tuple(bgc_type),
     )
 
 
@@ -159,6 +193,10 @@ class State:
     # other dynamics options.
     a11n: jnp.ndarray
     a12n: jnp.ndarray
+    # per-category "first ice" flag (1.0 = newly formed since last BGC
+    # update; seeds brine/BGC state; restart field,
+    # ice_brine.F90:688-700 / ice_zbgc_shared.F90 first_ice)
+    first_ice: jnp.ndarray
 
     @property
     def aice(self):
@@ -193,4 +231,5 @@ def zeros_state(cfg: ModelConfig, tr: TracerRegistry) -> State:
         sst=z2(),
         a11n=jnp.full((4, ny, nx), 0.5, dt_),
         a12n=jnp.zeros((4, ny, nx), dt_),
+        first_ice=jnp.ones((cfg.ncat, ny, nx), dt_),
     )
