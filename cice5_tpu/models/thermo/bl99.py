@@ -53,6 +53,7 @@ class BL99Result(NamedTuple):
     Iswabs: jnp.ndarray
     converged: jnp.ndarray
     niter: jnp.ndarray          # solver iterations used (diagnostic)
+    fail_bits: jnp.ndarray      # bitmask of last failed conditions
 
 
 def conductivity(l_snow, hilyr, hslyr, zTin, zSin, *, nilyr, nslyr,
@@ -195,7 +196,23 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
     # single precision makes the reference's 1e-3 W/m^2 unreachable; 1e-2 is
     # within the documented acceptable range (ice_therm_shared.F90:31
     # 'recommend ferrmax < 0.01').
-    ferrmax_eff = shared.ferrmax if dtype == jnp.float64 else 1.0e-2
+    if dtype == jnp.float64:
+        ferrmax_eff = shared.ferrmax
+    else:
+        # f32: the energy residual is measured from enthalpies that only
+        # resolve ~eps32*|q|, so the check's noise floor scales with the
+        # column enthalpy magnitude; below it, unconverged loops are pure
+        # rounding noise. 1e-2 base stays within the reference's
+        # documented range ("recommend ferrmax < 0.01 W/m^2",
+        # ice_therm_bl99.F90:117-119 scaled for f32).
+        eps32 = 1.2e-7
+        ferrmax_eff = 1.0e-2 + 8.0 * eps32 * jnp.abs(einit) / dt
+    # f32: the tridiag solution carries ~1e-3 K per-iteration noise for
+    # thick ice, so marginal cells oscillate forever against the 5e-4 K
+    # target; 5e-3 K is still well inside the reference's documented
+    # acceptable range ("recommend Tsf_errmax < 0.01 K",
+    # ice_therm_bl99.F90:121-123)
+    tsf_errmax_eff = TSF_ERRMAX if dtype == jnp.float64 else 5.0e-3
     qsn_init0 = shared.snow_enthalpy(Tsn_init)
     qin_init0 = shared.ice_enthalpy(Tin_init, Tmlts, l_brine)
 
@@ -257,6 +274,7 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
         dfsens_dT: jnp.ndarray
         dflat_dT: jnp.ndarray
         einex: jnp.ndarray
+        fail_bits: jnp.ndarray   # last-iteration failed-condition bitmask
 
     init = Carry(
         niter=jnp.zeros((), jnp.int32), Tsf=Tsf, zTsn=zTsn, zTin=zTin,
@@ -265,7 +283,8 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
         dTsf_prev=fzero, converged=~mask,
         flwoutn=fzero, fsensn=fzero, flatn=fzero, fsurfn=fzero,
         fcondtopn=fzero, fcondbot=fzero, dflwout_dT=fzero, dfsens_dT=fzero,
-        dflat_dT=fzero, einex=fzero)
+        dflat_dT=fzero, einex=fzero,
+        fail_bits=jnp.zeros_like(Tsf, jnp.int32))
 
     def cond(c: Carry):
         return (c.niter < NITERMAX) & jnp.any(~c.converged)
@@ -356,7 +375,7 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
         einex = jnp.sum(hilyr * dqmat, axis=0)
 
         # --- conditions 3 & 4 ---
-        conv = conv & (jnp.abs(dTsf) <= TSF_ERRMAX)
+        conv = conv & (jnp.abs(dTsf) <= tsf_errmax_eff)
         fsurfn = jnp.where(active, fsurfn + dTsf * dfsurf, fsurfn)
         fct2 = jnp.where(l_snow, c.kh[0] * (Tsf_new - zTsn_new[0]),
                          c.kh[nslyr] * (Tsf_new - zTin_new[0]))
@@ -368,6 +387,12 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
         ferr = jnp.abs(dener / dt - (fcondtopn - fcb + fswint))
         bad_energy = ferr > 0.9 * ferrmax_eff
         conv = conv & ~bad_energy
+        bad_dTsf = jnp.abs(dTsf) > tsf_errmax_eff
+        bad_melt = (Tsf_new >= 0.0) & (fsurfn < fcondtopn)
+        fail_bits = (cond1.astype(jnp.int32) + 2 * cond2.astype(jnp.int32)
+                     + 4 * bad_dTsf.astype(jnp.int32)
+                     + 8 * bad_melt.astype(jnp.int32)
+                     + 16 * bad_energy.astype(jnp.int32))
 
         # Conductivity reduction for the next iteration where the energy
         # check failed (ice_therm_bl99.F90:836-849). The reference loops
@@ -407,7 +432,8 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
             fcondtopn=fcondtopn,
             fcondbot=upd(fcb, c.fcondbot),
             dflwout_dT=dflwout_dT, dfsens_dT=dfsens_dT, dflat_dT=dflat_dT,
-            einex=upd(einex, c.einex))
+            einex=upd(einex, c.einex),
+            fail_bits=jnp.where(active, fail_bits, c.fail_bits))
 
     final = jax.lax.while_loop(cond, body, init)
 
@@ -435,4 +461,5 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
         Sswabs=jnp.where(m[None], Sswabs, 0.0),
         Iswabs=jnp.where(m[None], Iswabs, 0.0),
         converged=final.converged | ~m,
-        niter=final.niter)
+        niter=final.niter,
+        fail_bits=final.fail_bits)
