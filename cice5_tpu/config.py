@@ -162,6 +162,7 @@ class ForcingConfig:
     update_ocn_f: bool = False
     l_mpond_fresh: bool = False
     restore_sst: bool = False
+    restore_ice: bool = False        # nudge open-boundary cells (regional)
     trestore: int = 90
 
 

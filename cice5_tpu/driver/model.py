@@ -152,10 +152,15 @@ class Model:
         from cice5_tpu.io import restart as restart_mod
 
         cfg = self.cfg
+        rest = state if cfg.forcing.restore_ice else None
         for k in range(nsteps):
             istep = start_step + k
             forcing = self.forcing_at(istep)
             state, diag = self.step(state, forcing)
+            if rest is not None:
+                from cice5_tpu.models.restoring import restore_ice
+                state = restore_ice(cfg.time.dt, cfg.forcing.trestore,
+                                    state, rest, self.topo)
             info = self.calendar.info(istep + 1, cfg.time.dt)
 
             if diag_every and (istep % diag_every == 0):

@@ -105,6 +105,26 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     agg0 = itd.aggregate(tr, aicen, vicen, vsnon, trcrn)
     aice = agg0.aice
 
+    # form drag (ice_atmo.F90:644 neutral_drag_coeffs; formdrag namelist)
+    if cfg.forcing.formdrag:
+        from cice5_tpu.models.formdrag import neutral_drag_coeffs
+        fdkw = {}
+        if tr.nt_apnd >= 0:
+            fdkw.update(apnd=trcrn[:, tr.nt_apnd],
+                        hpnd=trcrn[:, tr.nt_hpnd])
+            if tr.nt_ipnd >= 0:
+                fdkw.update(ipnd=trcrn[:, tr.nt_ipnd])
+        if tr.nt_alvl >= 0:
+            fdkw.update(alvl=trcrn[:, tr.nt_alvl],
+                        vlvl=trcrn[:, tr.nt_vlvl])
+        fd = neutral_drag_coeffs(aice=aice, vice=agg0.vice, vsno=agg0.vsno,
+                                 aicen=aicen, vicen=vicen, **fdkw)
+        Cdn_atm = fd.Cdn_atm
+        Cw_ocn = fd.Cdn_ocn
+    else:
+        Cdn_atm = None
+        Cw_ocn = ct.dragio
+
     Tf = forcing.Tf
     sst = state.sst if cfg.forcing.oceanmixed_ice else forcing.sst
     sst = jnp.maximum(sst, Tf)
@@ -183,7 +203,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                 sfctype="ice", Tsf=tsf, potT=forcing.potT, uatm=forcing.uatm,
                 vatm=forcing.vatm, wind=forcing.wind, zlvl=forcing.zlvl,
                 Qa=forcing.Qa, rhoa=forcing.rhoa,
-                natmiter=cfg.forcing.natmiter)
+                natmiter=cfg.forcing.natmiter, Cdn_atm=Cdn_atm)
         res = vertical.thermo_vertical(
             dt, cfg, aicen=aic, vicen=vic, vsnon=vsn, Tsfcn=tsf,
             zqin=zqi, zqsn=zqs, zSin=zsi,
@@ -451,7 +471,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                          uocn=forcing.uocn, vocn=forcing.vocn,
                          uvel=uvel, vvel=vvel, stressp=stressp,
                          stressm=stressm, stress12=stress12,
-                         iceumask=iceumask, a11n=a11n, a12n=a12n)
+                         iceumask=iceumask, a11n=a11n, a12n=a12n,
+                         Cw=Cw_ocn)
                 ev = er.evp
                 a11n, a12n = er.a11n, er.a12n
             else:
@@ -460,7 +481,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                          strairyT=strairyT, uocn=forcing.uocn,
                          vocn=forcing.vocn, uvel=uvel, vvel=vvel,
                          stressp=stressp, stressm=stressm,
-                         stress12=stress12, iceumask=iceumask)
+                         stress12=stress12, iceumask=iceumask, Cw=Cw_ocn)
             uvel, vvel = ev.uvel, ev.vvel
             stressp, stressm, stress12 = ev.stressp, ev.stressm, ev.stress12
             iceumask = ev.iceumask
