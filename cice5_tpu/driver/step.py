@@ -192,7 +192,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
 
     # ---------------- per-category ABL + vertical thermo (vmap) ---------
     def therm_one(aic, vic, vsn, tsf, zqi, zqs, zsi, fswsfc, fswint, Iswabs,
-                  Sswabs, hpnd_in, apnd_in):
+                  Sswabs, hpnd_in, apnd_in, fsf=None, fct=None, flt=None,
+                  fsn=None):
         if cfg.forcing.atmbndy == "constant":
             abl = atmo.atmo_boundary_const(
                 sfctype="ice", Tsf=tsf, potT=forcing.potT, uatm=forcing.uatm,
@@ -212,7 +213,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
             shcoef=abl.shcoef, lhcoef=abl.lhcoef,
             fswsfc=fswsfc, fswint=fswint, Sswabs=Sswabs, Iswabs=Iswabs,
             fbot=fbot, Tbot=Tbot, sss=forcing.sss, hpond=hpnd_in,
-            apond=apnd_in)
+            apond=apnd_in, fsurfn_f=fsf, fcondtopn_f=fct, flatn_f=flt,
+            fsensn_f=fsn)
         return res, abl.strx, abl.stry
 
     if cfg.tracers.tr_pond and cfg.thermo.ktherm == 2:
@@ -224,14 +226,24 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         hpnd_all = jnp.zeros_like(aicen)
         apnd_all = jnp.zeros_like(aicen)
 
-    def therm_wrap(aic, vic, vsn, tsf, zqi, zqs, zsi, fswsfc, fswint,
-                   Iswabs, Sswabs, hpnd_in, apnd_in):
-        return therm_one(aic, vic, vsn, tsf, zqi, zqs, zsi, fswsfc, fswint,
-                         Iswabs, Sswabs, hpnd_in, apnd_in)
+    if cfg.thermo.calc_Tsfc:
+        def therm_wrap(aic, vic, vsn, tsf, zqi, zqs, zsi, fswsfc, fswint,
+                       Iswabs, Sswabs, hpnd_in, apnd_in):
+            return therm_one(aic, vic, vsn, tsf, zqi, zqs, zsi, fswsfc,
+                             fswint, Iswabs, Sswabs, hpnd_in, apnd_in)
 
-    tres, strairxn, strairyn = jax.vmap(therm_wrap)(
-        aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
-        absr.fswsfc, absr.fswint, absr.Iswabs, Sswabsn, hpnd_all, apnd_all)
+        tres, strairxn, strairyn = jax.vmap(therm_wrap)(
+            aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
+            absr.fswsfc, absr.fswint, absr.Iswabs, Sswabsn, hpnd_all,
+            apnd_all)
+    else:
+        # coupled mode: per-category surface fluxes from the coupler
+        # (set_sfcflux, ice_flux.F90:1015)
+        tres, strairxn, strairyn = jax.vmap(therm_one)(
+            aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
+            absr.fswsfc, absr.fswint, absr.Iswabs, Sswabsn, hpnd_all,
+            apnd_all, forcing.fsurfn_f, forcing.fcondtopn_f,
+            forcing.flatn_f, forcing.fsensn_f)
 
     # merge per-category fluxes with pre-thermo areas (merge_fluxes,
     # ice_flux.F90:681; thermo does not change aicen except melt-out)

@@ -54,6 +54,12 @@ class Forcing:
     hmix: jnp.ndarray      # mixed layer depth (m)
     yday: jnp.ndarray      # fractional day of year (scalar array)
     coszen: jnp.ndarray    # cosine solar zenith angle (ny, nx)
+    # prescribed per-category surface fluxes for calc_Tsfc=False coupled
+    # mode (set_sfcflux, ice_flux.F90:1015): (ncat, ny, nx); None otherwise
+    fsurfn_f: jnp.ndarray | None = None
+    fcondtopn_f: jnp.ndarray | None = None
+    flatn_f: jnp.ndarray | None = None
+    fsensn_f: jnp.ndarray | None = None
 
 
 def Tf_from_sss(sss):

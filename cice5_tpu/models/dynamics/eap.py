@@ -37,8 +37,10 @@ import numpy as np
 
 from cice5_tpu import constants as ct
 from cice5_tpu.models.dynamics import shared as dyn
-from cice5_tpu.models.dynamics.evp import (EVPResult, _region,
-                                           strain_rates, stress_divergence)
+from cice5_tpu.constants import FieldLoc, FieldType
+from cice5_tpu.models.dynamics.evp import (EVPResult, _extend_stress,
+                                           _region, strain_rates,
+                                           stress_divergence)
 from cice5_tpu.parallel import Topology, extend
 
 NX_YIELD, NY_YIELD, NA_YIELD = 41, 41, 21
@@ -391,7 +393,7 @@ def eap(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
     strengthR = _region(strength, topo)
 
     stress0 = jnp.concatenate([stressp, stressm, stress12], axis=0)
-    stressR = extend(stress0, topo)[:, 1:, 1:]
+    stressR = _extend_stress(stress0, topo)
     stressR = jnp.where(maskR[None], stressR, 0.0)
     aR = extend(jnp.concatenate([a11n, a12n], axis=0), topo)[:, 1:, 1:]
     a11R, a12R = aR[0:4], aR[4:8]
@@ -400,7 +402,8 @@ def eap(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
 
     def body(k, carry):
         u, v, stress, a11_k, a12_k, _ = carry
-        uvE = extend(jnp.stack([u, v]), topo)
+        uvE = extend(jnp.stack([u, v]), topo, loc=FieldLoc.NECORNER,
+                     kind=FieldType.VECTOR)
         r = stress_eap_kernel(p, uvE[0], uvE[1], stress, a11_k, a12_k,
                               tables, maskR=maskR, strengthR=strengthR,
                               gR=gR)

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from cice5_tpu import constants as ct
+from cice5_tpu.constants import FieldLoc, FieldType
 from cice5_tpu.parallel import Topology, extend
 from cice5_tpu.models.dynamics import shared as dyn
 
@@ -260,9 +261,32 @@ class EVPResult(NamedTuple):
     prs_sig: jnp.ndarray
 
 
-def _region(field_2d, topo):
+def _region(field_2d, topo, loc=FieldLoc.CENTER, kind=FieldType.SCALAR):
     """(ny, nx) -> (ny+1, nx+1) region incl. N/E ghost row/col."""
-    return extend(field_2d, topo)[..., 1:, 1:]
+    return extend(field_2d, topo, loc=loc, kind=kind)[..., 1:, 1:]
+
+
+# tripole fold swaps the stress corner partners NE<->SW, NW<->SE for each
+# of (stressp, stressm, stress12) (ice_dyn_evp.F90:416-481
+# ice_HaloUpdate_stress pairs)
+_TRIPOLE_STRESS_PERM = (2, 3, 0, 1, 6, 7, 4, 5, 10, 11, 8, 9)
+
+
+def _extend_stress(stress0, topo):
+    """Seed the (12, ny+1, nx+1)-region ghost ring for the stress state;
+    on tripole grids the north ghost row holds the folded PARTNER corner
+    component (ice_HaloUpdate_stress, mpi/ice_boundary.F90:5564)."""
+    E1 = extend(stress0, topo)
+    if topo.ns != "tripole":
+        return E1[:, 1:, 1:]
+    import jax.lax as lax
+    E2 = extend(stress0[jnp.asarray(_TRIPOLE_STRESS_PERM)], topo)
+    north = E2[:, -1:, :]
+    if topo.axis_y is not None:
+        is_top = (lax.axis_index(topo.axis_y)
+                  == lax.axis_size(topo.axis_y) - 1)
+        north = jnp.where(is_top, north, E1[:, -1:, :])
+    return jnp.concatenate([E1[:, :-1, :], north], axis=1)[:, 1:, 1:]
 
 
 def evp(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
@@ -318,13 +342,14 @@ def evp(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
 
     # --- stress state on the region grid; ghost ring seeded by exchange ---
     stress0 = jnp.concatenate([stressp, stressm, stress12], axis=0)
-    stressR = extend(stress0, topo)[:, 1:, 1:]
+    stressR = _extend_stress(stress0, topo)
     stressR = jnp.where(maskR[None], stressR, 0.0)
 
     # --- subcycling loop (ice_dyn_evp.F90:336-410) ---
     def body(k, carry):
         u, v, stress, _ = carry
-        uvE = extend(jnp.stack([u, v]), topo)
+        uvE = extend(jnp.stack([u, v]), topo, loc=FieldLoc.NECORNER,
+                     kind=FieldType.VECTOR)
         r = stress_kernel(p, uvE[0], uvE[1], stress, maskR=maskR,
                           strengthR=strengthR, gR=gR)
         s = dyn.stepu(p, icemask=icem_u, aiu=aiu, strE=r.str8, uocn=uocn,

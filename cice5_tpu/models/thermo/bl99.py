@@ -167,11 +167,60 @@ def _assemble_matrix(*, nilyr, nslyr, l_snow, l_cold, Tsf, Tbot, fsurfn,
     return (jnp.stack(sb), jnp.stack(dg), jnp.stack(sp), jnp.stack(rh))
 
 
+def _assemble_matrix_know(*, nilyr, nslyr, l_snow, Tbot, fcondtopn,
+                          Tin_init, Tsn_init, kh, Sswabs, Iswabs,
+                          etai, etas):
+    """Tridiagonal rows when the conductive top flux is prescribed by the
+    coupler (ice_therm_bl99.F90:1484-1761
+    get_matrix_elements_know_Tsfc). Row 0 is a dummy; the top snow (or top
+    ice, if no snow) row absorbs fcondtopn into its rhs."""
+    nmat = nilyr + nslyr + 1
+    one = jnp.ones_like(Tbot)
+    zero = jnp.zeros_like(Tbot)
+    sb, dg, sp, rh = [], [], [], []
+    for r in range(nmat):
+        if r == 0:
+            sb.append(zero); dg.append(one); sp.append(zero); rh.append(zero)
+            continue
+        if r <= nslyr:
+            ks = r - 1
+            sb_s = zero if ks == 0 else -etas[ks] * kh[r - 1]
+            sp_s = -etas[ks] * kh[r]
+            dg_s = 1.0 + etas[ks] * ((0.0 if ks == 0 else kh[r - 1]) + kh[r])
+            rh_s = Tsn_init[ks] + etas[ks] * Sswabs[ks]
+            if ks == 0:
+                rh_s = rh_s + etas[0] * fcondtopn
+            sb.append(jnp.where(l_snow, sb_s, zero))
+            dg.append(jnp.where(l_snow, dg_s, one))
+            sp.append(jnp.where(l_snow, sp_s, zero))
+            rh.append(jnp.where(l_snow, rh_s, zero))
+            continue
+        ki = r - nslyr - 1
+        kt, kb = kh[r - 1], kh[r]
+        sb_i = -etai[ki] * kt
+        sp_i = -etai[ki] * kb
+        dg_i = 1.0 + etai[ki] * (kt + kb)
+        rh_i = Tin_init[ki] + etai[ki] * Iswabs[ki]
+        if ki == 0:
+            # no snow: prescribed flux enters the top ice layer directly
+            sb_i = jnp.where(l_snow, sb_i, zero)
+            dg_i = jnp.where(l_snow, dg_i, 1.0 + etai[0] * kb)
+            rh_i = jnp.where(l_snow, rh_i,
+                             rh_i + etai[0] * fcondtopn)
+        if ki == nilyr - 1:
+            sp_i = zero
+            rh_i = rh_i + etai[ki] * kb * Tbot
+        sb.append(sb_i); dg.append(dg_i); sp.append(sp_i); rh.append(rh_i)
+    return (jnp.stack(sb), jnp.stack(dg), jnp.stack(sp), jnp.stack(rh))
+
+
 def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
                         mask, rhoa, flw, potT, Qa, shcoef, lhcoef,
                         fswsfc, fswint, Sswabs, Iswabs,
                         hilyr, hslyr, zTin, zSin, zTsn, Tsf, Tbot,
-                        einit) -> BL99Result:
+                        einit, calc_Tsfc=True, fsurfn_f=None,
+                        fcondtopn_f=None, flatn_f=None,
+                        fsensn_f=None) -> BL99Result:
     """BL99 temperature update for one category slab (calc_Tsfc path).
 
     mask: bool (*B), True where aicen > puny; masked-out cells pass through.
@@ -275,6 +324,7 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
         dflat_dT: jnp.ndarray
         einex: jnp.ndarray
         fail_bits: jnp.ndarray   # last-iteration failed-condition bitmask
+        dTi1_prev: jnp.ndarray   # top-ice dT of previous iter (calc_Tsfc=F)
 
     init = Carry(
         niter=jnp.zeros((), jnp.int32), Tsf=Tsf, zTsn=zTsn, zTin=zTin,
@@ -284,7 +334,8 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
         flwoutn=fzero, fsensn=fzero, flatn=fzero, fsurfn=fzero,
         fcondtopn=fzero, fcondbot=fzero, dflwout_dT=fzero, dfsens_dT=fzero,
         dflat_dT=fzero, einex=fzero,
-        fail_bits=jnp.zeros_like(Tsf, jnp.int32))
+        fail_bits=jnp.zeros_like(Tsf, jnp.int32),
+        dTi1_prev=fzero)
 
     def cond(c: Carry):
         return (c.niter < NITERMAX) & jnp.any(~c.converged)
@@ -297,11 +348,20 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
         ci = brine_ci(c.zTin, Tin_init)
         etai = dt_rhoi_hlyr / ci
 
-        # surface fluxes + derivatives at current Tsf
-        flwo, fsen, flat, fsur = shared.surface_heat_flux(
-            c.Tsf, fswsfc, rhoa, flw, potT, Qa, shcoef, lhcoef)
-        dfsurf, dflwo, dfsen, dflat = shared.dsurface_heat_flux_dTsf(
-            c.Tsf, rhoa, shcoef, lhcoef)
+        if calc_Tsfc:
+            # surface fluxes + derivatives at current Tsf
+            flwo, fsen, flat, fsur = shared.surface_heat_flux(
+                c.Tsf, fswsfc, rhoa, flw, potT, Qa, shcoef, lhcoef)
+            dfsurf, dflwo, dfsen, dflat = shared.dsurface_heat_flux_dTsf(
+                c.Tsf, rhoa, shcoef, lhcoef)
+        else:
+            # prescribed coupler fluxes (set_sfcflux, ice_flux.F90:1015)
+            flwo = jnp.zeros_like(c.Tsf)
+            fsen = fsensn_f if fsensn_f is not None else jnp.zeros_like(
+                c.Tsf)
+            flat = flatn_f
+            fsur = fsurfn_f
+            dfsurf = dflwo = dfsen = dflat = jnp.zeros_like(c.Tsf)
         flwoutn = jnp.where(active, flwo, c.flwoutn)
         fsensn = jnp.where(active, fsen, c.fsensn)
         flatn = jnp.where(active, flat, c.flatn)
@@ -310,39 +370,68 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
         dfsens_dT = jnp.where(active, dfsen, c.dfsens_dT)
         dflat_dT = jnp.where(active, dflat, c.dflat_dT)
 
-        fct = jnp.where(l_snow, c.kh[0] * (c.Tsf - c.zTsn[0]),
-                        c.kh[nslyr] * (c.Tsf - c.zTin[0]))
+        if calc_Tsfc:
+            fct = jnp.where(l_snow, c.kh[0] * (c.Tsf - c.zTsn[0]),
+                            c.kh[nslyr] * (c.Tsf - c.zTin[0]))
+        else:
+            fct = fcondtopn_f
         fcondtopn = jnp.where(active, fct, c.fcondtopn)
-        Tsf_cur = jnp.where(active & (c.Tsf >= 0.0) & (fsurfn < fcondtopn),
-                            -ct.puny, c.Tsf)
+        if calc_Tsfc:
+            Tsf_cur = jnp.where(
+                active & (c.Tsf >= 0.0) & (fsurfn < fcondtopn),
+                -ct.puny, c.Tsf)
+        else:
+            Tsf_cur = c.Tsf
         Tsf_start = Tsf_cur
         l_cold = Tsf_cur < 0.0
 
-        sb, dg, sp, rh = _assemble_matrix(
-            nilyr=nilyr, nslyr=nslyr, l_snow=l_snow, l_cold=l_cold,
-            Tsf=Tsf_start, Tbot=Tbot, fsurfn=fsurfn, dfsurf_dT=dfsurf,
-            Tin_init=Tin_init, Tsn_init=Tsn_init, kh=c.kh,
-            Sswabs=Sswabs, Iswabs=Iswabs, etai=etai, etas=etas)
+        if calc_Tsfc:
+            sb, dg, sp, rh = _assemble_matrix(
+                nilyr=nilyr, nslyr=nslyr, l_snow=l_snow, l_cold=l_cold,
+                Tsf=Tsf_start, Tbot=Tbot, fsurfn=fsurfn, dfsurf_dT=dfsurf,
+                Tin_init=Tin_init, Tsn_init=Tsn_init, kh=c.kh,
+                Sswabs=Sswabs, Iswabs=Iswabs, etai=etai, etas=etas)
+        else:
+            sb, dg, sp, rh = _assemble_matrix_know(
+                nilyr=nilyr, nslyr=nslyr, l_snow=l_snow, Tbot=Tbot,
+                fcondtopn=fcondtopn, Tin_init=Tin_init, Tsn_init=Tsn_init,
+                kh=c.kh, Sswabs=Sswabs, Iswabs=Iswabs, etai=etai, etas=etas)
         Tmat = tridiag_solve(sb, dg, sp, rh)
 
         # --- surface temperature update + conditions 1 & 2 ---
-        Tsf_new = jnp.where(l_cold,
-                            jnp.where(l_snow, Tmat[0], Tmat[nslyr]), 0.0)
-        dTsf = Tsf_new - Tsf_start
         conv = jnp.ones_like(mask)
+        if calc_Tsfc:
+            Tsf_new = jnp.where(l_cold,
+                                jnp.where(l_snow, Tmat[0], Tmat[nslyr]), 0.0)
+            dTsf = Tsf_new - Tsf_start
 
-        cond1 = Tsf_new > ct.puny
-        cond2 = ((niter > 1) & (Tsf_start <= -ct.puny)
-                 & (jnp.abs(dTsf) > ct.puny)
-                 & (jnp.abs(c.dTsf_prev) > ct.puny)
-                 & (-dTsf / (c.dTsf_prev + ct.puny * ct.puny) > 0.5)
-                 & ~cond1)
-        Tsf_new = jnp.where(cond1, 0.0, Tsf_new)
-        dTsf = jnp.where(cond1, -Tsf_start, jnp.where(cond2, 0.5 * dTsf, dTsf))
-        avg_Tsf = jnp.where(cond2 & l_brine, 1.0, 0.0)
-        avg_Tsi = jnp.where((cond1 | cond2) & l_brine, 1.0, 0.0)
-        conv = conv & ~cond1 & ~cond2
-        Tsf_new = Tsf_new + avg_Tsf * 0.5 * (Tsf_start - Tsf_new)
+            cond1 = Tsf_new > ct.puny
+            cond2 = ((niter > 1) & (Tsf_start <= -ct.puny)
+                     & (jnp.abs(dTsf) > ct.puny)
+                     & (jnp.abs(c.dTsf_prev) > ct.puny)
+                     & (-dTsf / (c.dTsf_prev + ct.puny * ct.puny) > 0.5)
+                     & ~cond1)
+            Tsf_new = jnp.where(cond1, 0.0, Tsf_new)
+            dTsf = jnp.where(cond1, -Tsf_start,
+                             jnp.where(cond2, 0.5 * dTsf, dTsf))
+            avg_Tsf = jnp.where(cond2 & l_brine, 1.0, 0.0)
+            avg_Tsi = jnp.where((cond1 | cond2) & l_brine, 1.0, 0.0)
+            conv = conv & ~cond1 & ~cond2
+            Tsf_new = Tsf_new + avg_Tsf * 0.5 * (Tsf_start - Tsf_new)
+        else:
+            # Tsf is diagnostic under prescribed flux; oscillation control
+            # moves to the top ice layer (condition 2b,
+            # ice_therm_bl99.F90:721-735)
+            Tsf_new = c.Tsf
+            dTsf = jnp.zeros_like(c.Tsf)
+            cond1 = jnp.zeros_like(mask)
+            dTi1 = Tmat[1 + nslyr] - c.zTin[0]
+            cond2 = ((niter > 1) & (jnp.abs(dTi1) > ct.puny)
+                     & (jnp.abs(c.dTi1_prev) > ct.puny)
+                     & (-dTi1 / (c.dTi1_prev + ct.puny * ct.puny) > 0.5))
+            avg_Tsi = jnp.where(cond2 & l_brine, 1.0, 0.0)
+            conv = conv & ~cond2
+            dTsf = dTi1   # reused for the dTi1_prev carry below
 
         # --- snow layers ---
         zTsn_new = jnp.where(l_snow, Tmat[1:1 + nslyr], 0.0)
@@ -374,21 +463,26 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
         dener = dener + jnp.sum(hilyr * (zqin_new - qin_init0), axis=0)
         einex = jnp.sum(hilyr * dqmat, axis=0)
 
-        # --- conditions 3 & 4 ---
-        conv = conv & (jnp.abs(dTsf) <= tsf_errmax_eff)
-        fsurfn = jnp.where(active, fsurfn + dTsf * dfsurf, fsurfn)
-        fct2 = jnp.where(l_snow, c.kh[0] * (Tsf_new - zTsn_new[0]),
-                         c.kh[nslyr] * (Tsf_new - zTin_new[0]))
-        fcondtopn = jnp.where(active, fct2, fcondtopn)
-        conv = conv & ~((Tsf_new >= 0.0) & (fsurfn < fcondtopn))
+        # --- conditions 3 & 4 (calc_Tsfc only) ---
+        if calc_Tsfc:
+            conv = conv & (jnp.abs(dTsf) <= tsf_errmax_eff)
+            fsurfn = jnp.where(active, fsurfn + dTsf * dfsurf, fsurfn)
+            fct2 = jnp.where(l_snow, c.kh[0] * (Tsf_new - zTsn_new[0]),
+                             c.kh[nslyr] * (Tsf_new - zTin_new[0]))
+            fcondtopn = jnp.where(active, fct2, fcondtopn)
+            conv = conv & ~((Tsf_new >= 0.0) & (fsurfn < fcondtopn))
 
         # --- condition 5: energy conservation ---
         fcb = c.kh[nmat - 1] * (zTin_new[nilyr - 1] - Tbot) + einex / dt
         ferr = jnp.abs(dener / dt - (fcondtopn - fcb + fswint))
         bad_energy = ferr > 0.9 * ferrmax_eff
         conv = conv & ~bad_energy
-        bad_dTsf = jnp.abs(dTsf) > tsf_errmax_eff
-        bad_melt = (Tsf_new >= 0.0) & (fsurfn < fcondtopn)
+        if calc_Tsfc:
+            bad_dTsf = jnp.abs(dTsf) > tsf_errmax_eff
+            bad_melt = (Tsf_new >= 0.0) & (fsurfn < fcondtopn)
+        else:
+            bad_dTsf = jnp.zeros_like(mask)
+            bad_melt = jnp.zeros_like(mask)
         fail_bits = (cond1.astype(jnp.int32) + 2 * cond2.astype(jnp.int32)
                      + 4 * bad_dTsf.astype(jnp.int32)
                      + 8 * bad_melt.astype(jnp.int32)
@@ -433,7 +527,9 @@ def temperature_changes(dt, *, nilyr, nslyr, conduct, ksno, l_brine,
             fcondbot=upd(fcb, c.fcondbot),
             dflwout_dT=dflwout_dT, dfsens_dT=dfsens_dT, dflat_dT=dflat_dT,
             einex=upd(einex, c.einex),
-            fail_bits=jnp.where(active, fail_bits, c.fail_bits))
+            fail_bits=jnp.where(active, fail_bits, c.fail_bits),
+            dTi1_prev=(upd(dTsf, c.dTi1_prev) if not calc_Tsfc
+                       else c.dTi1_prev))
 
     final = jax.lax.while_loop(cond, body, init)
 

@@ -397,8 +397,9 @@ class ThermoVerticalResult(NamedTuple):
 def thermo_vertical(dt, cfg, *, aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
                     flw, potT, Qa, rhoa, fsnow, shcoef, lhcoef,
                     fswsfc, fswint, Sswabs, Iswabs,
-                    fbot, Tbot, sss, hpond=None,
-                    apond=None) -> ThermoVerticalResult:
+                    fbot, Tbot, sss, hpond=None, apond=None,
+                    fsurfn_f=None, fcondtopn_f=None, flatn_f=None,
+                    fsensn_f=None) -> ThermoVerticalResult:
     """Full vertical thermo update for ONE category slab over batch *B
     (ice_therm_vertical.F90:73-536 thermo_vertical).
 
@@ -494,12 +495,17 @@ def thermo_vertical(dt, cfg, *, aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
         einit = (jnp.sum(hslyr[None] * r.zqsn, axis=0)
                  + jnp.sum(hilyr[None] * r.zqin, axis=0))
     else:
+        if not th.calc_Tsfc and th.ktherm == 2:
+            raise NotImplementedError(
+                "calc_Tsfc=False is implemented for the BL99 path only")
         r = bl99.temperature_changes(
             dt, nilyr=nilyr, nslyr=nslyr, conduct=th.conduct, ksno=th.ksno,
             l_brine=l_brine, mask=mask, rhoa=rhoa, flw=flw, potT=potT, Qa=Qa,
             shcoef=shcoef, lhcoef=lhcoef, fswsfc=fswsfc, fswint=fswint,
             Sswabs=Sswabs, Iswabs=Iswabs, hilyr=hilyr, hslyr=hslyr,
-            zTin=zTin, zSin=zSin, zTsn=zTsn, Tsf=Tsf, Tbot=Tbot, einit=einit)
+            zTin=zTin, zSin=zSin, zTsn=zTsn, Tsf=Tsf, Tbot=Tbot, einit=einit,
+            calc_Tsfc=th.calc_Tsfc, fsurfn_f=fsurfn_f,
+            fcondtopn_f=fcondtopn_f, flatn_f=flatn_f, fsensn_f=fsensn_f)
         zSin_cur = zSin
         snoice_m = jnp.zeros_like(Tsf)
         fadvocn = jnp.zeros_like(Tsf)

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from cice5_tpu import constants as ct
+from cice5_tpu.constants import FieldLoc, FieldType
 from cice5_tpu.parallel import Topology, extend
 from cice5_tpu.state import TracerRegistry, DEP_AICE, DEP_VICE, DEP_VSNO, DEP_TRCR
 
@@ -429,10 +430,10 @@ def remap_geometry(dt, grid, topo: Topology, *, uvel, vvel) -> RemapGeometry:
     # departure displacements at U corners (departure_points :1493-1541)
     dpx = -dt * uvel
     dpy = -dt * vvel
-    dxuE = extend(grid.dxu, topo)
-    dyuE = extend(grid.dyu, topo)
-    dpxE = extend(dpx, topo)
-    dpyE = extend(dpy, topo)
+    dxuE = extend(grid.dxu, topo, loc=FieldLoc.NECORNER)
+    dyuE = extend(grid.dyu, topo, loc=FieldLoc.NECORNER)
+    dpxE = extend(dpx, topo, loc=FieldLoc.NECORNER, kind=FieldType.VECTOR)
+    dpyE = extend(dpy, topo, loc=FieldLoc.NECORNER, kind=FieldType.VECTOR)
     dxs = dpxE / jnp.where(dxuE > 0, dxuE, 1.0)
     dys = dpyE / jnp.where(dyuE > 0, dyuE, 1.0)
     A = dxuE * dyuE
@@ -506,11 +507,11 @@ def remap_fields(grid, topo: Topology, geom: RemapGeometry, *, mm, tm,
 
     # --- extended fields for donor views ---
     mcE = extend(mc, topo)
-    mxE = extend(mx, topo)
-    myE = extend(my, topo)
+    mxE = extend(mx, topo, kind=FieldType.VECTOR)
+    myE = extend(my, topo, kind=FieldType.VECTOR)
     tcE = extend(tc_all, topo)
-    txE = extend(tx_all, topo)
-    tyE = extend(ty_all, topo)
+    txE = extend(tx_all, topo, kind=FieldType.VECTOR)
+    tyE = extend(ty_all, topo, kind=FieldType.VECTOR)
 
     fn = _integrals(geom.north,
                     _nbr_views_north(mcE, ny, nx),

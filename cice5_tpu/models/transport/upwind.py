@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from cice5_tpu import constants as ct
+from cice5_tpu.constants import FieldLoc, FieldType
 from cice5_tpu.parallel import Topology, extend
 from cice5_tpu.models.thermo.itd import tracer_weights, compute_tracers
 
@@ -25,8 +26,8 @@ def upwind_field(dt, phi, ueeE, vnnE, grid, topo: Topology):
     the x-range i in [-1, nx-1] so its divergence is a static slice.
     """
     phiE = extend(phi, topo)
-    HTE_E = extend(grid.HTE, topo)
-    HTN_E = extend(grid.HTN, topo)
+    HTE_E = extend(grid.HTE, topo, loc=FieldLoc.EFACE)
+    HTN_E = extend(grid.HTN, topo, loc=FieldLoc.NFACE)
 
     def upwind(y1, y2, a, h):
         return 0.5 * dt * h * ((a + jnp.abs(a)) * y1 + (a - jnp.abs(a)) * y2)
@@ -49,7 +50,8 @@ def transport_upwind(dt, grid, topo: Topology, tr, *, uvel, vvel,
     (ice_transport_driver.F90:634-789)."""
     ncat = aicen.shape[0]
     # edge velocities from U-point corners (:689-693)
-    uvE = extend(jnp.stack([uvel, vvel]), topo)
+    uvE = extend(jnp.stack([uvel, vvel]), topo, loc=FieldLoc.NECORNER,
+                 kind=FieldType.VECTOR)
     uee = 0.5 * (uvE[0, 1:-1, 1:-1] + uvE[0, :-2, 1:-1])
     vnn = 0.5 * (uvE[1, 1:-1, 1:-1] + uvE[1, 1:-1, :-2])
     ueeE = extend(uee, topo)
