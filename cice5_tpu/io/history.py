@@ -69,6 +69,71 @@ STANDARD_FIELDS = [
     HistField("albsni", "1", "snow/ice broadband albedo"),
 ]
 
+# mechanical-redistribution field set (ice_history_mechred.F90)
+MECHRED_FIELDS = [
+    HistField("ardg", "1", "ridged ice area fraction"),
+    HistField("vrdg", "m", "ridged ice volume per area"),
+    HistField("alvl", "1", "level ice area fraction"),
+    HistField("vlvl", "m", "level ice volume per area"),
+    HistField("opening", "%/day", "lead opening rate"),
+]
+
+# melt-pond field set (ice_history_pond.F90)
+POND_FIELDS = [
+    HistField("apond", "1", "melt pond fraction of grid cell"),
+    HistField("hpond", "m", "mean melt pond depth"),
+    HistField("ipond", "m", "mean pond ice lid thickness"),
+]
+
+# form-drag field set (ice_history_drag.F90)
+DRAG_FIELDS = [
+    HistField("Cdn_atm", "1", "atmospheric neutral drag coefficient",
+              instantaneous=True),
+    HistField("Cdn_ocn", "1", "oceanic neutral drag coefficient",
+              instantaneous=True),
+    HistField("hfreebd", "m", "mean freeboard", instantaneous=True),
+    HistField("hkeel", "m", "mean keel depth", instantaneous=True),
+]
+
+# BGC field set (ice_history_bgc.F90)
+BGC_FIELDS = [
+    HistField("PP_net", "mg C/m^2/s", "net primary production"),
+    HistField("grow_net", "1/s", "net specific algal growth"),
+    HistField("fbri", "1", "brine height ratio"),
+]
+
+
+MAX_NSTRM = 5     # ice_domain_size.F90:50
+
+
+class HistoryStreams:
+    """Up to MAX_NSTRM independent output streams with their own field sets
+    and frequencies (ice_history.F90 multi-stream support): accum() feeds
+    every stream; ready/write are per stream."""
+
+    def __init__(self, streams):
+        if len(streams) > MAX_NSTRM:
+            raise ValueError(f"at most {MAX_NSTRM} history streams")
+        self.streams = list(streams)
+
+    def accum(self, values: dict, time: float):
+        for st in self.streams:
+            st.accum(values, time)
+
+    def write_ready(self, grid, info, out_dir: str,
+                    case_name: str = "cice5_tpu", use_async: bool = False):
+        """Write every stream whose output window closed; returns paths."""
+        paths = []
+        for st in self.streams:
+            if st.ready(info):
+                fn = os.path.join(
+                    out_dir,
+                    f"iceh_{st.suffix}.{info.year:04d}-{info.month:02d}-"
+                    f"{info.mday:02d}-{info.sec:05d}.nc")
+                write_netcdf(st, grid, info, fn, case_name=case_name)
+                paths.append(fn)
+        return paths
+
 
 class HistoryStream:
     """One output stream: registered fields + accumulation + writer
@@ -159,8 +224,9 @@ def write_netcdf(stream: HistoryStream, grid, info, path: str,
     return path
 
 
-def diag_to_values(diag, state, grid) -> dict:
-    """Map a StepDiag + state into the standard history field names."""
+def diag_to_values(diag, state, grid, tr=None) -> dict:
+    """Map a StepDiag + state into the standard history field names
+    (+ mechred/pond/bgc fields when the tracer registry is given)."""
     import jax.numpy as jnp
     aice = diag.aice
     safe = jnp.maximum(aice, ct.puny)
@@ -181,4 +247,28 @@ def diag_to_values(diag, state, grid) -> dict:
         "dardg1dt": diag.dardg1dt, "dvirdgdt": diag.dvirdgdt,
         "frzmlt": diag.frzmlt, "sst": state.sst,
         "albsni": diag.alvdr,
-    }
+        "PP_net": diag.PP_net, "grow_net": diag.grow_net,
+    } | _tracer_values(state, tr)
+
+
+def _tracer_values(state, tr) -> dict:
+    if tr is None:
+        return {}
+    import jax.numpy as jnp
+    out = {}
+    aicen, vicen = state.aicen, state.vicen
+    if tr.nt_alvl >= 0:
+        out["alvl"] = jnp.sum(state.trcrn[:, tr.nt_alvl] * aicen, 0)
+        out["vlvl"] = jnp.sum(state.trcrn[:, tr.nt_vlvl] * vicen, 0)
+        out["ardg"] = jnp.sum((1.0 - state.trcrn[:, tr.nt_alvl]) * aicen, 0)
+        out["vrdg"] = jnp.sum((1.0 - state.trcrn[:, tr.nt_vlvl]) * vicen, 0)
+    if tr.nt_apnd >= 0:
+        ap = state.trcrn[:, tr.nt_apnd]
+        out["apond"] = jnp.sum(ap * aicen, 0)
+        out["hpond"] = jnp.sum(ap * state.trcrn[:, tr.nt_hpnd] * aicen, 0)
+        if tr.nt_ipnd >= 0:
+            out["ipond"] = jnp.sum(
+                ap * state.trcrn[:, tr.nt_ipnd] * aicen, 0)
+    if tr.nt_fbri >= 0:
+        out["fbri"] = jnp.sum(state.trcrn[:, tr.nt_fbri] * vicen, 0)
+    return out

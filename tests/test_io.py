@@ -133,3 +133,64 @@ class TestReaders:
         np.testing.assert_allclose(c1 + c2, 1.0)
         m1, m2, c1, c2 = interp_coeff_monthly(200.0)
         assert 0 <= m1 <= 11 and 0 <= m2 <= 11
+
+
+class TestMultiStreamHistory:
+    def test_streams_and_async_writer(self, tmp_path):
+        """Two streams at different frequencies + the native async netCDF
+        writer round-trip (native/fastwriter)."""
+        from cice5_tpu.io.history import (HistField, HistoryStream,
+                                          HistoryStreams, MECHRED_FIELDS,
+                                          STANDARD_FIELDS)
+        import numpy as np
+
+        ny, nx = 4, 6
+        s1 = HistoryStream(STANDARD_FIELDS[:3], freq="1", freq_n=1,
+                           suffix="inst")
+        s2 = HistoryStream(MECHRED_FIELDS[:2], freq="1", freq_n=2,
+                           suffix="mech")
+        hs = HistoryStreams([s1, s2])
+        vals = {f.name: np.full((ny, nx), 0.5)
+                for f in STANDARD_FIELDS[:3] + MECHRED_FIELDS[:2]}
+        hs.accum(vals, 0.0)
+        assert s1.nsamples == 1 and s2.nsamples == 1
+
+        class Info:
+            year, month, mday, sec, time, elapsed_days = 1, 1, 2, 0, 86400.0, 1
+        import cice5_tpu.io.history as hmod
+        from cice5_tpu.config import gx3_config
+        import dataclasses
+        from cice5_tpu.grid import make_grid
+        cfg = gx3_config()
+        cfg = cfg.replace(grid=dataclasses.replace(cfg.grid, ny=ny, nx=nx))
+        g = make_grid(cfg)
+        paths = hs.write_ready(g, Info, str(tmp_path))
+        assert len(paths) == 1          # only stream 1 due (freq_n)
+        assert "inst" in paths[0]
+
+    def test_native_async_writer_roundtrip(self, tmp_path):
+        from cice5_tpu.io.fastwriter import AsyncNetcdfWriter, available
+        import numpy as np
+        if not available():
+            import pytest
+            pytest.skip("no g++ toolchain")
+        path = str(tmp_path / "async.nc")
+        ny, nx = 5, 7
+        rng = np.random.default_rng(3)
+        recs = []
+        with AsyncNetcdfWriter(path, ny, nx, ["aice", "hi", "hs"]) as w:
+            for t in range(4):
+                f = {k: rng.random((ny, nx)).astype(np.float32)
+                     for k in ("aice", "hi", "hs")}
+                recs.append((t * 3600.0, f))
+                w.append(t * 3600.0, f)
+            w.flush()
+            assert w.pending() == 0
+        from scipy.io import netcdf_file
+        with netcdf_file(path, "r", mmap=False) as f:
+            t = np.array(f.variables["time"][:])
+            for name in ("aice", "hi", "hs"):
+                arr = np.array(f.variables[name][:])
+                for k, (tt, fields) in enumerate(recs):
+                    np.testing.assert_array_equal(arr[k], fields[name])
+        np.testing.assert_allclose(t, [r[0] for r in recs])
