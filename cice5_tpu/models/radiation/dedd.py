@@ -142,6 +142,24 @@ def compute_coszen(tlat, tlon, yday, sec):
             + jnp.cos(tlat) * jnp.cos(delta) * jnp.cos(hour_angle))
 
 
+def _interp_table(x, xp_np, fp_np):
+    """Branchless piecewise-linear table lookup.
+
+    jnp.interp lowers to gathers, which are pathologically slow on TPU
+    (~50 ms per call at gx1 size); for a small monotone table the exact
+    identity y = fp[0] + sum_k (fp[k+1]-fp[k]) * clip((x-xp[k])/dx_k, 0, 1)
+    is a short chain of fused elementwise ops instead."""
+    import numpy as _np
+    xp = _np.asarray(xp_np, _np.float64)
+    fp = _np.asarray(fp_np, _np.float64)
+    y = jnp.full_like(x, float(fp[0]))
+    for k in range(len(xp) - 1):
+        dfk = float(fp[k + 1] - fp[k])
+        inv = 1.0 / float(xp[k + 1] - xp[k])
+        y = y + dfk * jnp.clip((x - float(xp[k])) * inv, 0.0, 1.0)
+    return y
+
+
 def set_snow(aicen, vsnon, Tsfc, *, R_snw, rsnw_mlt, dT_mlt, hs0):
     """Snow fraction/grain radius (shortwave_dEdd_set_snow :3782)."""
     mask = aicen > ct.puny
@@ -161,11 +179,36 @@ def _dedd_solution(tau, w0, g, coszen, srftyp: int, nslyr: int,
     """Adding method over klev+1 layers (solution_dEdd :3270-3580).
 
     tau/w0/g: (klev+1, *B). Returns (trndir, trntdr, trndif, rupdir,
-    rupdif, rdndif) each (klev+2, *B)."""
+    rupdif, rdndif) each (klev+2, *B).
+
+    Thin wrapper over the case-batched kernel (single case)."""
+    out = _dedd_solution_cases(
+        tau[None], w0[None], g[None], coszen,
+        kfrsnl_cases=(0 if srftyp == 2 else nslyr + 2,),
+        albodr_cases=(albodr,), albodf_cases=(albodf,))
+    return tuple(a[:, 0] for a in out)
+
+
+def _dedd_solution_cases(tau, w0, g, coszen, *, kfrsnl_cases,
+                         albodr_cases, albodf_cases):
+    """Case-batched adding method (solution_dEdd :3270-3580).
+
+    TPU re-structuring: the reference solves each (surface type, spectral
+    band) column independently — thousands of tiny elementwise ops. Here a
+    leading case axis C batches all solutions through ONE op sequence;
+    per-case statics (Fresnel layer index, ocean albedo) become constant
+    masks. tau/w0/g: (klev+1, C, *B). Returns 6 arrays (klev+2, C, *B).
+    """
     klev = tau.shape[0] - 1
-    mu0 = jnp.maximum(coszen, 0.01)
+    C = tau.shape[1]
+    nb = tau.ndim - 2
+    cshape = (C,) + (1,) * nb
+    mu0_flat = jnp.maximum(coszen, 0.01)
+    mu0 = jnp.broadcast_to(mu0_flat, tau.shape[1:])
     mu0n_below = jnp.sqrt(1.0 - (1.0 - mu0 ** 2) / (REFINDX * REFINDX))
-    kfrsnl = 0 if srftyp == 2 else nslyr + 2
+    kf = jnp.asarray(kfrsnl_cases, jnp.int32).reshape(cshape)
+    albodr = jnp.asarray(albodr_cases, tau.dtype).reshape(cshape)
+    albodf = jnp.asarray(albodf_cases, tau.dtype).reshape(cshape)
 
     one = jnp.ones_like(mu0)
     zero = jnp.zeros_like(mu0)
@@ -192,7 +235,7 @@ def _dedd_solution(tau, w0, g, coszen, srftyp: int, nslyr: int,
         ws = jnp.minimum(ws, 1.0 - ct.puny)    # guard el at w=1
         lm = jnp.sqrt(3.0 * (1.0 - ws) * (1.0 - ws * gs))
         ue = 1.5 * (1.0 - ws * gs) / jnp.maximum(lm, ct.puny)
-        mu0n = mu0n_below if (srftyp == 2 or k >= kfrsnl) else mu0
+        mu0n = jnp.where(k >= kf, mu0n_below, mu0)
         # guard resonance 1 - lm^2 mu^2 = 0
         safe_mu = lambda m: jnp.where(jnp.abs(1.0 - lm * lm * m * m) < 1e-6,
                                       m * (1.0 + 1e-3), m)
@@ -227,8 +270,9 @@ def _dedd_solution(tau, w0, g, coszen, srftyp: int, nslyr: int,
         rdif_b = rdif_a
         tdif_b = tdif_a
 
-        if k == kfrsnl:
-            # Fresnel refraction layer on top (:3565-3620)
+        is_f = (k == kf)      # Fresnel layer for this case? (C,1..1) mask
+        if True:
+            # Fresnel refraction layer on top (:3565-3620), masked per case
             R1f = (mu0 - REFINDX * mu0n_below) / (mu0 + REFINDX * mu0n_below)
             R2f = (REFINDX * mu0 - mu0n_below) / (REFINDX * mu0 + mu0n_below)
             T1f = 2.0 * mu0 / (mu0 + REFINDX * mu0n_below)
@@ -238,14 +282,17 @@ def _dedd_solution(tau, w0, g, coszen, srftyp: int, nslyr: int,
             Rf_dif_a, Tf_dif_a = CP063, 1.0 - CP063
             Rf_dif_b, Tf_dif_b = CP455, 1.0 - CP455
             rintfc = 1.0 / (1.0 - Rf_dif_b * rdif_a)
-            tdir = Tf_dir * tdir + Tf_dir * rdir * Rf_dif_b * rintfc * tdif_a
-            rdir = Rf_dir + Tf_dir * rdir * rintfc * Tf_dif_b
+            w = lambda new, old: jnp.where(is_f, new, old)
+            tdir = w(Tf_dir * tdir
+                     + Tf_dir * rdir * Rf_dif_b * rintfc * tdif_a, tdir)
+            rdir = w(Rf_dir + Tf_dir * rdir * rintfc * Tf_dif_b, rdir)
             rdif_a_new = Rf_dif_a + Tf_dif_a * rdif_a * rintfc * Tf_dif_b
-            rdif_b = rdif_b + tdif_b * Rf_dif_b * rintfc * tdif_a
+            rdif_b = w(rdif_b + tdif_b * Rf_dif_b * rintfc * tdif_a, rdif_b)
             tdif_a_new = tdif_a * rintfc * Tf_dif_a
-            tdif_b = tdif_b * rintfc * Tf_dif_b
-            rdif_a, tdif_a = rdif_a_new, tdif_a_new
-            trnlay = Tf_dir * trnlay
+            tdif_b = w(tdif_b * rintfc * Tf_dif_b, tdif_b)
+            rdif_a = w(rdif_a_new, rdif_a)
+            tdif_a = w(tdif_a_new, tdif_a)
+            trnlay = w(Tf_dir * trnlay, trnlay)
 
         # zero layer properties where no radiation penetrates (trmin gate)
         lit = trntdr[k] > TRMIN
@@ -300,15 +347,13 @@ class DEddFluxes(NamedTuple):
     fthrul: jnp.ndarray   # (nilyr+1, *B) penetrating SW at ice interfaces
 
 
-def compute_dEdd(*, nilyr, nslyr, srftyp, coszen, fnidr, swvdr, swvdf,
-                 swidr, swidf, hs, rsnw, hi, hp, R_ice=0.0, R_pnd=0.0,
-                 kalg=0.6) -> DEddFluxes:
-    """Layer IOP setup + 3-band solution + flux partition for one surface
-    type over all cells (compute_dEdd :2034-3050)."""
+def _build_bands(*, nilyr, nslyr, srftyp, fnidr, hs, rsnw, hi, hp,
+                 R_ice, R_pnd, kalg, B, dtype):
+    """Layer inherent optical properties for all 3 spectral bands of one
+    surface type (the dzk/IOP setup of compute_dEdd :2034-2860).
+    Returns (tau, w0, g) each (klev+1, NSPINT, *B)."""
     klev = nslyr + nilyr + 1
     kii = nslyr + 1
-    B = coszen.shape
-    dtype = coszen.dtype
 
     # tuned ice/pond IOPs (python scalars per band)
     iops = []
@@ -344,18 +389,11 @@ def compute_dEdd(*, nilyr, nslyr, srftyp, coszen, fnidr, swvdr, swvdf,
         for k in range(0, nslyr + 1):
             dzk[k] = dz_p
 
-    ksrf = 1 if srftyp == 1 else nslyr + 2
-    wghtns2 = 0.67 + (0.78 - 0.67) * (1.0 - fnidr)
-    wghtns3 = 1.0 - wghtns2
-
-    avdr = avdf = aidr = aidf = jnp.zeros(B, dtype)
-    fsfc = fint = fthru = jnp.zeros(B, dtype)
-    Sabs = jnp.zeros((nslyr,) + B, dtype)
-    Iabs = jnp.zeros((nilyr,) + B, dtype)
-    fthrul = jnp.zeros((nilyr + 1,) + B, dtype)
-
     fr_adj = 1.0 * fnidr + 0.8 * (1.0 - fnidr)    # snow grain factor
 
+    # --- build the 3 spectral bands' layer optics, then solve them all in
+    # ONE case-batched adding pass (see _dedd_solution_cases) ---
+    band_tau, band_w0, band_g = [], [], []
     for ns in range(NSPINT):
         io = iops[ns]
         taus, w0s, gs = [], [], []
@@ -367,12 +405,9 @@ def compute_dEdd(*, nilyr, nslyr, srftyp, coszen, fnidr, swvdr, swvdf,
                 gs.append(jnp.zeros(B, dtype))
         elif srftyp == 1:
             frsnw = fr_adj * rsnw
-            Qs = jnp.interp(frsnw, jnp.asarray(RSNW_TAB, dtype),
-                            jnp.asarray(QS_TAB[:, ns], dtype))
-            ws_t = jnp.interp(frsnw, jnp.asarray(RSNW_TAB, dtype),
-                              jnp.asarray(WS_TAB[:, ns], dtype))
-            gs_t = jnp.interp(frsnw, jnp.asarray(RSNW_TAB, dtype),
-                              jnp.asarray(GS_TAB[:, ns], dtype))
+            Qs = _interp_table(frsnw, RSNW_TAB, QS_TAB[:, ns])
+            ws_t = _interp_table(frsnw, RSNW_TAB, WS_TAB[:, ns])
+            gs_t = _interp_table(frsnw, RSNW_TAB, GS_TAB[:, ns])
             ks_coef = Qs * ((ct.rhos / 917.0) * 3.0
                             / (4.0 * frsnw * 1.0e-6))
             for k in range(0, nslyr + 1):
@@ -436,21 +471,44 @@ def compute_dEdd(*, nilyr, nslyr, srftyp, coszen, fnidr, swvdr, swvdf,
                 w0s.append(sig / kext)
                 gs.append(jnp.full(B, io["g_pint"], dtype))
 
-        tau = jnp.stack([jnp.broadcast_to(t, B) for t in taus])
-        w0 = jnp.stack([jnp.broadcast_to(w, B) for w in w0s])
-        g = jnp.stack([jnp.broadcast_to(x, B) for x in gs])
+        band_tau.append(jnp.stack([jnp.broadcast_to(t, B) for t in taus]))
+        band_w0.append(jnp.stack([jnp.broadcast_to(w, B) for w in w0s]))
+        band_g.append(jnp.stack([jnp.broadcast_to(x, B) for x in gs]))
 
-        albo = 0.01 if ns == 0 else 0.0
-        trndir, trntdr, trndif, rupdir, rupdif, rdndif = _dedd_solution(
-            tau, w0, g, coszen, srftyp, nslyr, albo, albo)
+    return (jnp.stack(band_tau, axis=1), jnp.stack(band_w0, axis=1),
+            jnp.stack(band_g, axis=1))
 
-        # interface net fluxes (:2880-2910)
-        refk = 1.0 / (1.0 - rdndif * rupdif)
-        dfdir = (trndir + (trntdr - trndir) * (1.0 - rupdif) * refk
-                 - trndir * rupdir * (1.0 - rdndif) * refk)
-        dfdir = jnp.where(dfdir < ct.puny, 0.0, dfdir)
-        dfdif = trndif * (1.0 - rupdif) * refk
-        dfdif = jnp.where(dfdif < ct.puny, 0.0, dfdif)
+
+def _net_fluxes(trndirA, trntdrA, trndifA, rupdirA, rupdifA, rdndifA):
+    """Interface net down fluxes (:2880-2910), batched over cases."""
+    refkA = 1.0 / (1.0 - rdndifA * rupdifA)
+    dfdirA = (trndirA + (trntdrA - trndirA) * (1.0 - rupdifA) * refkA
+              - trndirA * rupdirA * (1.0 - rdndifA) * refkA)
+    dfdirA = jnp.where(dfdirA < ct.puny, 0.0, dfdirA)
+    dfdifA = trndifA * (1.0 - rupdifA) * refkA
+    dfdifA = jnp.where(dfdifA < ct.puny, 0.0, dfdifA)
+    return dfdirA, dfdifA
+
+
+def _partition(*, nilyr, nslyr, srftyp, fnidr, swvdr, swvdf, swidr, swidf,
+               dfdirA, dfdifA, rupdirA, rupdifA, B, dtype) -> DEddFluxes:
+    """Per-band flux partition into surface/internal/penetrating
+    absorption (compute_dEdd :2860-3050). dfdirA etc: (klev+2, NSPINT, *B)
+    for this surface type."""
+    klev = nslyr + nilyr + 1
+    ksrf = 1 if srftyp == 1 else nslyr + 2
+    wghtns2 = 0.67 + (0.78 - 0.67) * (1.0 - fnidr)
+    wghtns3 = 1.0 - wghtns2
+
+    avdr = avdf = aidr = aidf = jnp.zeros(B, dtype)
+    fsfc = fint = fthru = jnp.zeros(B, dtype)
+    Sabs = jnp.zeros((nslyr,) + B, dtype)
+    Iabs = jnp.zeros((nilyr,) + B, dtype)
+    fthrul = jnp.zeros((nilyr + 1,) + B, dtype)
+
+    for ns in range(NSPINT):
+        dfdir, dfdif = dfdirA[:, ns], dfdifA[:, ns]
+        rupdir, rupdif = rupdirA[:, ns], rupdifA[:, ns]
 
         if ns == 0:
             swdr, swdf, wght = swvdr, swvdf, 1.0
@@ -485,6 +543,29 @@ def compute_dEdd(*, nilyr, nslyr, srftyp, coszen, fnidr, swvdr, swvdf,
     return DEddFluxes(avdr=avdr, avdf=avdf, aidr=aidr, aidf=aidf,
                       fsfc=fsfc, fint=fint, fthru=fthru, Sabs=Sabs,
                       Iabs=Iabs, fthrul=fthrul)
+
+
+def compute_dEdd(*, nilyr, nslyr, srftyp, coszen, fnidr, swvdr, swvdf,
+                 swidr, swidf, hs, rsnw, hi, hp, R_ice=0.0, R_pnd=0.0,
+                 kalg=0.6) -> DEddFluxes:
+    """Layer IOP setup + band-batched solution + flux partition for one
+    surface type over all cells (compute_dEdd :2034-3050)."""
+    B = coszen.shape
+    dtype = coszen.dtype
+    tau, w0, g = _build_bands(
+        nilyr=nilyr, nslyr=nslyr, srftyp=srftyp, fnidr=fnidr, hs=hs,
+        rsnw=rsnw, hi=hi, hp=hp, R_ice=R_ice, R_pnd=R_pnd, kalg=kalg,
+        B=B, dtype=dtype)
+    kf = 0 if srftyp == 2 else nslyr + 2
+    sol = _dedd_solution_cases(
+        tau, w0, g, coszen, kfrsnl_cases=(kf,) * NSPINT,
+        albodr_cases=(0.01, 0.0, 0.0), albodf_cases=(0.01, 0.0, 0.0))
+    dfdirA, dfdifA = _net_fluxes(*sol)
+    return _partition(
+        nilyr=nilyr, nslyr=nslyr, srftyp=srftyp, fnidr=fnidr,
+        swvdr=swvdr, swvdf=swvdf, swidr=swidr, swidf=swidf,
+        dfdirA=dfdirA, dfdifA=dfdifA, rupdirA=sol[3], rupdifA=sol[4],
+        B=B, dtype=dtype)
 
 
 class DEddResult(NamedTuple):
@@ -535,14 +616,42 @@ def shortwave_dEdd(*, nilyr, nslyr, aicen, vicen, vsnon, Tsfcn, apnd, hpnd,
     fp = jnp.minimum(fp, 1.0 - fs)
     fi = jnp.maximum(1.0 - fs - fp, 0.0)
 
-    common = dict(nilyr=nilyr, nslyr=nslyr, coszen=cz, fnidr=fnidr,
-                  swvdr=swvdr, swvdf=swvdf, swidr=swidr, swidf=swidf,
-                  hi=jnp.maximum(hi, ct.puny), hp=hp, rsnw=rsnw,
-                  R_ice=R_ice, R_pnd=R_pnd, kalg=kalg)
+    # one solve for all (surface type x band) = 9 cases: build each
+    # surface's 3-band optics, concatenate on the case axis, run the
+    # case-batched adding method once, then partition per surface type
+    B = cz.shape
+    dtype = cz.dtype
+    build_common = dict(nilyr=nilyr, nslyr=nslyr, fnidr=fnidr,
+                        hi=jnp.maximum(hi, ct.puny), hp=hp, rsnw=rsnw,
+                        R_ice=R_ice, R_pnd=R_pnd, kalg=kalg,
+                        B=B, dtype=dtype)
+    hs_cases = (jnp.zeros_like(hs), jnp.maximum(hs, ct.hs_min),
+                jnp.zeros_like(hs))
+    taus, w0s_, gs_ = zip(*[
+        _build_bands(srftyp=srf, hs=hs_cases[srf], **build_common)
+        for srf in range(3)])
+    tau9 = jnp.concatenate(taus, axis=1)
+    w09 = jnp.concatenate(w0s_, axis=1)
+    g9 = jnp.concatenate(gs_, axis=1)
+    kf = nslyr + 2
+    sol = _dedd_solution_cases(
+        tau9, w09, g9, cz,
+        kfrsnl_cases=(kf, kf, kf, kf, kf, kf, 0, 0, 0),
+        albodr_cases=(0.01, 0.0, 0.0) * 3,
+        albodf_cases=(0.01, 0.0, 0.0) * 3)
+    dfdirA, dfdifA = _net_fluxes(*sol)
 
-    r_bare = compute_dEdd(srftyp=0, hs=jnp.zeros_like(hs), **common)
-    r_snow = compute_dEdd(srftyp=1, hs=jnp.maximum(hs, ct.hs_min), **common)
-    r_pond = compute_dEdd(srftyp=2, hs=jnp.zeros_like(hs), **common)
+    part_common = dict(nilyr=nilyr, nslyr=nslyr, fnidr=fnidr,
+                       swvdr=swvdr, swvdf=swvdf, swidr=swidr, swidf=swidf,
+                       B=B, dtype=dtype)
+    rs = [ _partition(srftyp=srf,
+                      dfdirA=dfdirA[:, 3 * srf:3 * srf + 3],
+                      dfdifA=dfdifA[:, 3 * srf:3 * srf + 3],
+                      rupdirA=sol[3][:, 3 * srf:3 * srf + 3],
+                      rupdifA=sol[4][:, 3 * srf:3 * srf + 3],
+                      **part_common)
+          for srf in range(3)]
+    r_bare, r_snow, r_pond = rs
 
     def mix(name):
         return (getattr(r_bare, name) * fi + getattr(r_snow, name) * fs

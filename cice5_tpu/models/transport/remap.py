@@ -362,7 +362,18 @@ class RemapFluxes(NamedTuple):
 def _integrals(g: Geometry, views_mc, views_mx, views_my, views_tc,
                views_tx, views_ty, tracer_type, parent):
     """Quadratic transport integrals over all triangles
-    (transport_integrals :3199-3512, integral_order=2)."""
+    (transport_integrals :3199-3512, integral_order=2).
+
+    TPU re-structuring: the reference's per-triangle-group tracer sums would
+    materialize (NGROUPS, ntrace) donor-selected stacks (tens of MB of HBM
+    traffic per category). Because every tracer flux is linear in its
+    (tc, tx, ty) donor values, the group/triangle sums are factored into
+    SIX per-view weight maps: W_v = sum_g triarea_g * coeff_g * [donor_g=v],
+    and each tracer's flux is a 6-view weighted read of the extended tracer
+    arrays — no (NGROUPS, ntrace) intermediates at all. Dependent (type-2/3)
+    tracers get weight sets built from their parent's per-group sums (only
+    the few distinct parents are expanded per group).
+    """
     qx, qy = _triangle_midpoints(g)          # (NGROUPS, 3, nyr, nxr)
     mc_d = _donor_select(g.donor, views_mc)  # (NGROUPS, nyr, nxr)
     mx_d = _donor_select(g.donor, views_mx)
@@ -379,33 +390,72 @@ def _integrals(g: Geometry, views_mc, views_mx, views_my, views_tc,
     mxysum = jnp.sum(mq * qx * qy, axis=1)
     myysum = jnp.sum(mq * qy * qy, axis=1)
 
-    tc_d = _donor_select(g.donor, views_tc)   # (NGROUPS, ntrace, nyr, nxr)
-    tx_d = _donor_select(g.donor, views_tx)
-    ty_d = _donor_select(g.donor, views_ty)
+    codes = list(views_tc.keys())
+    onehot = {v: (g.donor == v) for v in codes}      # (NGROUPS, nyr, nxr)
+    ta = g.triarea
 
-    ntrace = tc_d.shape[1]
-    mtsums = [None] * ntrace
-    mtxsums = [None] * ntrace
-    mtysums = [None] * ntrace
-    mtflx = []
+    def wmaps(cg, xg=None, yg=None):
+        """Per-view weights sum_g triarea*coeff*[donor==v] for the c/x/y
+        coefficient fields (each (NGROUPS, nyr, nxr))."""
+        Wc = {v: jnp.sum(ta * cg * onehot[v], axis=0) for v in codes}
+        Wx = ({v: jnp.sum(ta * xg * onehot[v], axis=0) for v in codes}
+              if xg is not None else None)
+        Wy = ({v: jnp.sum(ta * yg * onehot[v], axis=0) for v in codes}
+              if yg is not None else None)
+        return Wc, Wx, Wy
+
+    W1 = wmaps(msum, mxsum, mysum)                   # for type-1 tracers
+
+    def donor_one(views, nt):
+        return _donor_select(g.donor, {v: a[nt] for v, a in views.items()})
+
+    # per-group sums for the distinct parents of dependent tracers
+    ntrace = next(iter(views_tc.values())).shape[0]
+    needed = sorted({parent[nt] for nt in range(ntrace)
+                     if tracer_type[nt] >= 2})
+    gsum: dict = {}
+    Wp: dict = {}
+    for p in needed:                     # type-1 parents come first
+        tc_p = donor_one(views_tc, p)
+        if tracer_type[p] == 1:
+            tx_p = donor_one(views_tx, p)
+            ty_p = donor_one(views_ty, p)
+            mts_g = msum * tc_p + mxsum * tx_p + mysum * ty_p
+            mtx_g = mxsum * tc_p + mxxsum * tx_p + mxysum * ty_p
+            mty_g = mysum * tc_p + mxysum * tx_p + myysum * ty_p
+        else:                            # type-2 parent (pond chain)
+            pp = parent[p]
+            pts, ptx, pty = gsum[pp]
+            tx_p = donor_one(views_tx, p)
+            ty_p = donor_one(views_ty, p)
+            mts_g = pts * tc_p + ptx * tx_p + pty * ty_p
+            mtx_g = mty_g = None
+        gsum[p] = (mts_g, mtx_g, mty_g)
+        Wp[p] = wmaps(mts_g, mtx_g, mty_g)
+
+    # apply the weight maps to the full tracer view stacks, grouped by
+    # weight set so each class is one fused multi-view pass
+    flux = [None] * ntrace
+    classes: dict = {}
     for nt in range(ntrace):
-        if tracer_type[nt] == 1:
-            mts = (msum * tc_d[:, nt] + mxsum * tx_d[:, nt]
-                   + mysum * ty_d[:, nt])
-            mtxsums[nt] = (mxsum * tc_d[:, nt] + mxxsum * tx_d[:, nt]
-                           + mxysum * ty_d[:, nt])
-            mtysums[nt] = (mysum * tc_d[:, nt] + mxysum * tx_d[:, nt]
-                           + myysum * ty_d[:, nt])
-        elif tracer_type[nt] == 2:
-            p = parent[nt]
-            mts = (mtsums[p] * tc_d[:, nt] + mtxsums[p] * tx_d[:, nt]
-                   + mtysums[p] * ty_d[:, nt])
-        else:   # type 3: upwind approximation for the deepest dependents
-            p = parent[nt]
-            mts = mtsums[p] * tc_d[:, nt]
-        mtsums[nt] = mts
-        mtflx.append(jnp.sum(g.triarea * mts, axis=0))
-    return RemapFluxes(mflx=mflx, mtflx=jnp.stack(mtflx))
+        key = ("1",) if tracer_type[nt] == 1 else (tracer_type[nt],
+                                                   parent[nt])
+        classes.setdefault(key, []).append(nt)
+    for key, idxs in classes.items():
+        W = W1 if key[0] == "1" else Wp[key[1]]
+        Wc, Wx, Wy = W
+        use_grad = key[0] == "1" or key[0] == 2
+        sel = jnp.asarray(idxs)
+        acc = None
+        for v in codes:
+            term = Wc[v][None] * views_tc[v][sel]
+            if use_grad and Wx is not None:
+                term = term + Wx[v][None] * views_tx[v][sel]
+                term = term + Wy[v][None] * views_ty[v][sel]
+            acc = term if acc is None else acc + term
+        for k, nt in enumerate(idxs):
+            flux[nt] = acc[k]
+    return RemapFluxes(mflx=mflx, mtflx=jnp.stack(flux))
 
 
 def horizontal_remap(dt, grid, topo: Topology, *, uvel, vvel, mm, tm,
