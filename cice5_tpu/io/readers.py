@@ -85,3 +85,25 @@ def read_netcdf_field(path: str, varname: str, record: int | None = None):
         v = f.variables[varname]
         data = v[record] if record is not None else v[:]
         return np.array(data)
+
+
+def read_pop_grid_nc(grid_file: str, kmt_file: str | None = None,
+                     varmap: dict | None = None):
+    """Read a POP grid from netCDF (ice_grid.F90:659-874 popgrid_nc).
+
+    Default variable names follow the reference: ulat/ulon (radians),
+    htn/hte (cm), angle (radians), kmt. Returns the same dict layout as
+    read_pop_grid_binary (HTN/HTE converted to meters)."""
+    names = {"ULAT": "ulat", "ULON": "ulon", "HTN": "htn", "HTE": "hte",
+             "ANGLE": "angle", "kmt": "kmt"}
+    if varmap:
+        names.update(varmap)
+    out = {}
+    for key in ("ULAT", "ULON", "HTN", "HTE", "ANGLE"):
+        arr = read_netcdf_field(grid_file, names[key])
+        if key in ("HTN", "HTE"):
+            arr = arr * 0.01          # cm -> m
+        out[key] = np.asarray(arr, np.float64)
+    kpath = kmt_file or grid_file
+    out["kmt"] = np.asarray(read_netcdf_field(kpath, names["kmt"]))
+    return out

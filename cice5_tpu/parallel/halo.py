@@ -31,6 +31,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from cice5_tpu.constants import FieldLoc, FieldType
@@ -85,49 +86,82 @@ def _global_flip_x(row, topo: Topology):
     return lax.ppermute(flipped, topo.axis_x, perm)
 
 
+def _roll_global(row, topo: Topology, shift: int):
+    """Cyclic x-roll of a (..., nx_local) row by +-1, across shards."""
+    if topo.axis_x is None:
+        return jnp.roll(row, shift, axis=-1)
+    if shift == -1:
+        nbr = _pshift(row[..., :1], topo.axis_x, -1, True)
+        return jnp.concatenate([row[..., 1:], nbr], axis=-1)
+    nbr = _pshift(row[..., -1:], topo.axis_x, +1, True)
+    return jnp.concatenate([nbr, row[..., :-1]], axis=-1)
+
+
+# fold (ioffset, joffset) per staggering (mpi/ice_boundary.F90:1494-1596):
+# ghost(i, ny+1) = sign * field(nxGlobal+1-i-ioffset, ny-joffset)
+_UFOLD_OFFSETS = {FieldLoc.CENTER: (0, 0), FieldLoc.NECORNER: (1, 1),
+                  FieldLoc.EFACE: (1, 0), FieldLoc.NFACE: (0, 1)}
+_TFOLD_OFFSETS = {FieldLoc.CENTER: (-1, 0), FieldLoc.NECORNER: (0, 1),
+                  FieldLoc.EFACE: (0, 0), FieldLoc.NFACE: (-1, 1)}
+# staggerings whose top physical row lies ON the fold (degenerate row that
+# must be symmetrized with its own image)
+_UFOLD_DEGEN = (FieldLoc.NECORNER, FieldLoc.NFACE)
+_TFOLD_DEGEN = (FieldLoc.CENTER, FieldLoc.EFACE)
+
+
+def _fold_map(row, topo: Topology, ioff: int):
+    """Map column i -> nxGlobal+1-i-ioffset (1-based), i.e. 0-based
+    i0 -> (nx-1-i0-ioff) mod nx."""
+    gA = _global_flip_x(row, topo)           # i0 -> nx-1-i0
+    if ioff == 0:
+        return gA
+    return _roll_global(gA, topo, -ioff)     # +-1 cyclic shift
+
+
 def _tripole_ghost(f, topo: Topology, loc: FieldLoc, kind: FieldType):
-    """North ghost row + symmetrized top row for the tripole U-fold
-    (mpi/ice_boundary.F90 tripole branches; U-fold offsets:
-    center (0,0), NEcorner (1,1), Eface (1,0), Nface (0,1)).
+    """North ghost row + symmetrized top row for the tripole U- or T-fold
+    (mpi/ice_boundary.F90:1494-1596).
 
     Returns (ghost_row (..., 1, nx), top_row_sym (..., 1, nx) or None).
     In 1-based reference indexing the ghost at (i, ny+1) reads
     sign * field(nxGlobal + 1 - i - ioffset, ny - joffset)."""
     sign = -1.0 if kind in (FieldType.VECTOR, FieldType.ANGLE) else 1.0
-    ioff, joff = {
-        FieldLoc.CENTER: (0, 0),
-        FieldLoc.NECORNER: (1, 1),
-        FieldLoc.EFACE: (1, 0),
-        FieldLoc.NFACE: (0, 1),
-    }.get(loc, (0, 0))
+    tfold = topo.ns == "tripoleT"
+    offs = _TFOLD_OFFSETS if tfold else _UFOLD_OFFSETS
+    degen = _TFOLD_DEGEN if tfold else _UFOLD_DEGEN
+    ioff, joff = offs.get(loc, (0, 0))
 
-    src_row = f[..., -1 - joff:f.shape[-2] - joff, :]   # row ny or ny-1
-    gA = _global_flip_x(src_row, topo)                   # maps i -> nx+1-i
-    if ioff:
-        # maps i -> nx-i: shift the flipped row left by one, cyclic in x
-        if topo.axis_x is None:
-            g = jnp.roll(gA, -1, axis=-1)
-        else:
-            nbr = _pshift(gA[..., :1], topo.axis_x, -1, True)
-            g = jnp.concatenate([gA[..., 1:], nbr], axis=-1)
-    else:
-        g = gA
-    ghost = sign * g
-
-    # degenerate top-row symmetrization for corner/Nface fields
+    # degenerate top-row symmetrization (row ny maps onto itself)
     top_sym = None
-    if loc in (FieldLoc.NECORNER, FieldLoc.NFACE):
+    if loc in degen:
         top = f[..., -1:, :]
-        tA = _global_flip_x(top, topo)
-        if loc == FieldLoc.NECORNER:
-            if topo.axis_x is None:
-                tB = jnp.roll(tA, -1, axis=-1)
-            else:
-                nbr = _pshift(tA[..., :1], topo.axis_x, -1, True)
-                tB = jnp.concatenate([tA[..., 1:], nbr], axis=-1)
-        else:
-            tB = tA
+        tB = _fold_map(top, topo, ioff)
         top_sym = 0.5 * (top + sign * tB)
+        if ioff == -1:
+            # T-fold center: i0=0 and i0=nx/2 are their own images; the
+            # reference loop (i=2..nx/2) leaves them untouched
+            nx_loc = top.shape[-1]
+            if topo.axis_x is None:
+                selfmask = np.zeros(nx_loc, bool)
+                selfmask[0] = True
+                if nx_loc % 2 == 0:
+                    selfmask[nx_loc // 2] = True
+                top_sym = jnp.where(jnp.asarray(selfmask), top, top_sym)
+            else:
+                npx = lax.axis_size(topo.axis_x)
+                ix = lax.axis_index(topo.axis_x)
+                col = jnp.arange(nx_loc) + ix * nx_loc
+                nxg = nx_loc * npx
+                selfmask = (col == 0) | (col == nxg // 2)
+                top_sym = jnp.where(selfmask, top, top_sym)
+
+    # ghost row: reads the (symmetrized, for T-fold degenerate locs) source
+    # row — the reference symmetrizes the tripole buffer BEFORE copy-out
+    if top_sym is not None and joff == 0:
+        src_row = top_sym
+    else:
+        src_row = f[..., -1 - joff:f.shape[-2] - joff, :]   # row ny or ny-1
+    ghost = sign * _fold_map(src_row, topo, ioff)
     return ghost, top_sym
 
 
@@ -136,8 +170,6 @@ def extend(f: jnp.ndarray, topo: Topology,
            kind: FieldType = FieldType.SCALAR) -> jnp.ndarray:
     """Add a 1-cell ghost ring: (..., ny, nx) -> (..., ny+2, nx+2)."""
     tripole = topo.ns in ("tripole", "tripoleT")
-    if topo.ns == "tripoleT":
-        raise NotImplementedError("tripole T-fold not yet implemented")
     cyc_x = topo.ew == "cyclic"
     cyc_y = topo.ns == "cyclic"
 

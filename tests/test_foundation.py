@@ -197,6 +197,85 @@ class TestTripole:
                 np.testing.assert_allclose(shard, big, atol=1e-14)
 
 
+class TestTripoleT:
+    """Tripole T-fold halo (mpi/ice_boundary.F90:1494-1546): offsets
+    center(-1,0)/NEcorner(0,1)/Eface(0,0)/Nface(-1,1), degenerate top-row
+    symmetrization for CENTER (pairs i <-> nx-i+2, self-points untouched)
+    and EFACE (pairs i <-> nx+1-i)."""
+    LOCS = {"center": (1, (-1, 0)), "necorner": (2, (0, 1)),
+            "nface": (3, (-1, 1)), "eface": (4, (0, 0))}
+
+    @staticmethod
+    def _oracle(f, loc_name, sign):
+        ny, nx = f.shape
+        _, (ioff, joff) = TestTripoleT.LOCS[loc_name]
+        f = f.copy()
+        if loc_name in ("center", "eface"):
+            top = f[ny - 1].copy()
+            mapped = np.array([top[(nx - 1 - i - ioff) % nx]
+                               for i in range(nx)])
+            sym = 0.5 * (top + sign * mapped)
+            if ioff == -1:   # self-image points untouched (center)
+                sym[0] = top[0]
+                if nx % 2 == 0:
+                    sym[nx // 2] = top[nx // 2]
+            f[ny - 1] = sym
+        src = f[ny - 1 - joff]
+        ghost = np.array([sign * src[(nx - 1 - i - ioff) % nx]
+                          for i in range(nx)])
+        return f, ghost
+
+    @pytest.mark.parametrize("loc_name", ["center", "necorner", "nface",
+                                          "eface"])
+    @pytest.mark.parametrize("sign", [1.0, -1.0])
+    def test_fold_matches_oracle(self, rng, loc_name, sign):
+        from cice5_tpu.constants import FieldLoc, FieldType
+        ny, nx = 6, 12
+        f = jnp.asarray(rng.standard_normal((ny, nx)))
+        loc = FieldLoc(self.LOCS[loc_name][0])
+        kind = FieldType.VECTOR if sign < 0 else FieldType.SCALAR
+        F = np.asarray(extend(f, Topology(ew="cyclic", ns="tripoleT"),
+                              loc=loc, kind=kind))
+        f_sym, ghost = self._oracle(np.asarray(f), loc_name, sign)
+        np.testing.assert_allclose(F[1:-1, 1:-1], f_sym, atol=1e-14)
+        np.testing.assert_allclose(F[-1, 1:-1], ghost, atol=1e-14)
+
+    @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+    @pytest.mark.parametrize("loc_name,kindname",
+                             [("center", "scalar"), ("center", "vector"),
+                              ("eface", "vector"), ("necorner", "vector")])
+    def test_decomposition_invariance(self, rng, mesh_shape, loc_name,
+                                      kindname):
+        from cice5_tpu.constants import FieldLoc, FieldType
+        ny, nx = 16, 32
+        loc = FieldLoc(self.LOCS[loc_name][0])
+        kind = (FieldType.VECTOR if kindname == "vector"
+                else FieldType.SCALAR)
+        f = jnp.asarray(rng.standard_normal((ny, nx)))
+        ref_big = np.asarray(extend(f, Topology(ew="cyclic", ns="tripoleT"),
+                                    loc=loc, kind=kind))
+        mesh = make_mesh(ny=ny, nx=nx, shape=mesh_shape)
+        topo = mesh_topology(mesh, ew="cyclic", ns="tripoleT")
+
+        @jax.jit
+        def run(x):
+            return shard_map(
+                lambda xl: extend(xl, topo, loc=loc, kind=kind),
+                mesh=mesh, in_specs=P("Y", "X"),
+                out_specs=P("Y", "X"), check_vma=False)(x)
+
+        out_np = np.asarray(run(f))
+        py, px = mesh_shape
+        nyl, nxl = ny // py, nx // px
+        for jy in range(py):
+            for jx in range(px):
+                shard = out_np[jy * (nyl + 2):(jy + 1) * (nyl + 2),
+                               jx * (nxl + 2):(jx + 1) * (nxl + 2)]
+                big = ref_big[jy * nyl:jy * nyl + nyl + 2,
+                              jx * nxl:jx * nxl + nxl + 2]
+                np.testing.assert_allclose(shard, big, atol=1e-14)
+
+
 class TestGrid:
     def test_rectgrid_metrics(self):
         cfg = ModelConfig(grid=GridConfig(nx=16, ny=12, dx_const=1000.0,

@@ -194,3 +194,43 @@ class TestMultiStreamHistory:
                 for k, (tt, fields) in enumerate(recs):
                     np.testing.assert_array_equal(arr[k], fields[name])
         np.testing.assert_allclose(t, [r[0] for r in recs])
+
+
+class TestPopGridNc:
+    def test_roundtrip_to_grid(self, tmp_path):
+        """Synthesize a POP netCDF grid, read with read_pop_grid_nc, build
+        a Grid via popgrid_np."""
+        import dataclasses
+        import numpy as np
+        from scipy.io import netcdf_file
+        from cice5_tpu.config import gx3_config
+        from cice5_tpu.grid import popgrid_np
+        from cice5_tpu.io.readers import read_pop_grid_nc
+
+        ny, nx = 10, 12
+        path = str(tmp_path / "grid.nc")
+        lat = np.deg2rad(60 + 20 * np.linspace(0, 1, ny))[:, None] \
+            * np.ones((1, nx))
+        lon = np.deg2rad(np.linspace(-180, 180, nx))[None, :] \
+            * np.ones((ny, 1))
+        kmt = np.ones((ny, nx))
+        kmt[0, :] = 0
+        with netcdf_file(path, "w") as f:
+            f.createDimension("nj", ny)
+            f.createDimension("ni", nx)
+            for name, data in (("ulat", lat), ("ulon", lon),
+                               ("htn", np.full((ny, nx), 3.0e6)),
+                               ("hte", np.full((ny, nx), 3.0e6)),
+                               ("angle", np.zeros((ny, nx))),
+                               ("kmt", kmt)):
+                v = f.createVariable(name, "d", ("nj", "ni"))
+                v[:] = data
+        g = read_pop_grid_nc(path)
+        assert g["HTN"][0, 0] == 3.0e4     # cm -> m
+        cfg = gx3_config()
+        cfg = cfg.replace(grid=dataclasses.replace(
+            cfg.grid, ny=ny, nx=nx, grid_type="displaced_pole"))
+        G = popgrid_np(cfg, g["ULAT"], g["ULON"], g["HTN"], g["HTE"],
+                       g["ANGLE"], g["kmt"])
+        assert not bool(np.asarray(G.tmask)[0].any())  # kmt=0 row is land
+        assert np.asarray(G.tarea).min() > 0
