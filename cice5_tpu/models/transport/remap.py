@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from cice5_tpu import constants as ct
 from cice5_tpu.constants import FieldLoc, FieldType
-from cice5_tpu.parallel import Topology, extend
+from cice5_tpu.parallel import Topology, extend, shifted
 from cice5_tpu.state import TracerRegistry, DEP_AICE, DEP_VICE, DEP_VSNO, DEP_TRCR
 
 NGROUPS = 6
@@ -669,3 +669,66 @@ def transport_remap(dt, grid, topo: Topology, tr: TracerRegistry, *, uvel,
     vicen_n = aicen_n * hice_n
     vsnon_n = aicen_n * hsno_n
     return aicen_n, vicen_n, vsnon_n, trcrn_n
+
+
+def monotonicity_bounds(tm, aimask, tracer_type, parent, topo):
+    """Local pre-transport tracer min/max over the 9-point neighborhood
+    (ice_transport_driver.F90:1084-1190 local_max_min): bounds are taken
+    over neighbors that carry the tracer (mass/parent mask), and are the
+    monotone limits remapped values must respect.
+
+    tm: (ntrace, ny, nx); aimask: 1.0 where mass > 0. Returns (tmin, tmax).
+    """
+    ntrace = tm.shape[0]
+    masks = []
+    for nt in range(ntrace):
+        if tracer_type[nt] == 1:
+            masks.append(aimask)
+        else:
+            p = parent[nt]
+            masks.append(aimask * (jnp.abs(tm[p]) > ct.puny))
+    pm = jnp.stack(masks)
+    tmE = extend(tm, topo)
+    pmE = extend(pm, topo)
+    big = jnp.asarray(1.0e30, tm.dtype)
+    tmin = jnp.where(pm > 0.0, tm, big)
+    tmax = jnp.where(pm > 0.0, tm, -big)
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            v = shifted(tmE, di, dj)
+            m = shifted(pmE, di, dj) > 0.0
+            tmin = jnp.minimum(tmin, jnp.where(m, v, big))
+            tmax = jnp.maximum(tmax, jnp.where(m, v, -big))
+    return tmin, tmax
+
+
+def check_monotonicity(tmin, tmax, mm_new, tm_new, tracer_type, parent):
+    """Monotonicity violations after remap
+    (ice_transport_driver.F90:1244-1330 check_monotonicity): new tracer
+    values outside the pre-transport neighborhood bounds. Returns a bool
+    (ntrace, ny, nx) violation mask (all False when the scheme is
+    monotone)."""
+    ntrace = tm_new.shape[0]
+    out = []
+    for nt in range(ntrace):
+        lc = mm_new > ct.puny
+        if tracer_type[nt] >= 2:
+            lc = lc & (jnp.abs(tm_new[parent[nt]]) > ct.puny)
+        if tracer_type[nt] == 3:
+            lc = lc & (jnp.abs(tm_new[parent[parent[nt]]]) > ct.puny)
+        span = jnp.maximum(jnp.abs(tmin[nt]), jnp.abs(tmax[nt]))
+        tol = ct.puny * (1.0 + span)
+        bad = lc & ((tm_new[nt] < tmin[nt] - tol)
+                    | (tm_new[nt] > tmax[nt] + tol))
+        out.append(bad)
+    return jnp.stack(out)
+
+
+def global_conservation(mm, tarea, topo):
+    """Global mass integral for conservation checking
+    (ice_transport_driver.F90:1011-1082 global_conservation); compare
+    before/after transport."""
+    from cice5_tpu.parallel import global_sum
+    return global_sum(mm * tarea, topo)

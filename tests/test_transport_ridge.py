@@ -221,3 +221,78 @@ class TestRemap:
         decay_remap = 0.8 - float(jnp.max(ar))
         decay_upwind = 0.8 - float(jnp.max(ai))
         assert decay_remap < 0.65 * decay_upwind
+
+
+class TestTransportChecks:
+    """Conservation + monotonicity diagnostics
+    (ice_transport_driver.F90:1011-1330)."""
+
+    def _setup(self):
+        from cice5_tpu.config import GridConfig
+        from cice5_tpu import ModelConfig
+        from cice5_tpu.grid import rectgrid
+        from cice5_tpu.parallel import Topology
+        from cice5_tpu.state import build_tracer_registry
+        cfg = ModelConfig(grid=GridConfig(nx=24, ny=16, dx_const=20000.0,
+                                          dy_const=20000.0),
+                          dtype="float64")
+        g = rectgrid(cfg, land_mask=np.ones((16, 24)))
+        return cfg, g, Topology(ew="cyclic", ns="open"), \
+            build_tracer_registry(cfg)
+
+    def test_remap_is_monotone_and_conservative(self, rng):
+        from cice5_tpu.models.transport import remap as rem
+        cfg, g, topo, tr = self._setup()
+        ny, nx = 16, 24
+        ncat = cfg.ncat
+        aicen = jnp.asarray(0.1 + 0.1 * rng.random((ncat, ny, nx)))
+        vicen = aicen * jnp.asarray(1.0 + rng.random((ncat, ny, nx)))
+        vsnon = aicen * 0.1
+        trcrn = jnp.zeros((ncat, tr.ntrcr, ny, nx))
+        trcrn = trcrn.at[:, tr.nt_Tsfc].set(
+            jnp.asarray(-10.0 + 5.0 * rng.random((ncat, ny, nx))))
+        uvel = jnp.full((ny, nx), 0.08)
+        vvel = jnp.full((ny, nx), -0.05)
+
+        # pre-transport bounds for category 0 on the packed tracer table
+        hice = vicen[0] / jnp.maximum(aicen[0], ct.puny)
+        hsno = vsnon[0] / jnp.maximum(aicen[0], ct.puny)
+        tm = jnp.concatenate([hice[None], hsno[None], trcrn[0]], axis=0)
+        ttypes = [1, 1] + [1 if tr.depend[i] == 0 else 2
+                           for i in range(tr.ntrcr)]
+        parents = [-1, -1] + [-1 if tr.depend[i] == 0
+                              else (0 if tr.depend[i] == 1 else 1)
+                              for i in range(tr.ntrcr)]
+        aimask = (aicen[0] > 0.0).astype(jnp.float64)
+        tmin, tmax = rem.monotonicity_bounds(tm, aimask, ttypes, parents,
+                                             topo)
+
+        m0 = rem.global_conservation(aicen[0], g.tarea, topo)
+        a, v, s, t = rem.transport_remap(3600.0, g, topo, tr, uvel=uvel,
+                                         vvel=vvel, aicen=aicen,
+                                         vicen=vicen, vsnon=vsnon,
+                                         trcrn=trcrn)
+        m1 = rem.global_conservation(a[0], g.tarea, topo)
+        np.testing.assert_allclose(float(m1), float(m0), rtol=1e-12)
+
+        hice_n = v[0] / jnp.maximum(a[0], ct.puny)
+        hsno_n = s[0] / jnp.maximum(a[0], ct.puny)
+        tm_new = jnp.concatenate([hice_n[None], hsno_n[None], t[0]], axis=0)
+        bad = rem.check_monotonicity(tmin, tmax, a[0], tm_new, ttypes,
+                                     parents)
+        # remap with van-Leer limiting is monotone
+        assert int(jnp.sum(bad)) == 0
+
+    def test_violation_detected(self, rng):
+        """A synthetic out-of-bounds value IS flagged (the check works)."""
+        from cice5_tpu.models.transport import remap as rem
+        cfg, g, topo, tr = self._setup()
+        ny, nx = 16, 24
+        tm = jnp.asarray(rng.random((1, ny, nx)))
+        aimask = jnp.ones((ny, nx))
+        tmin, tmax = rem.monotonicity_bounds(tm, aimask, [1], [-1], topo)
+        tm_bad = tm.at[0, 5, 5].set(100.0)
+        bad = rem.check_monotonicity(tmin, tmax, jnp.ones((ny, nx)),
+                                     tm_bad, [1], [-1])
+        assert bool(bad[0, 5, 5])
+        assert int(jnp.sum(bad)) == 1
