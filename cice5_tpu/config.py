@@ -63,6 +63,7 @@ class DynConfig:
     """Dynamics / ridging options (ice_init.F90 dynamics_nml; ice_dyn_shared.F90:31-81)."""
     kdyn: int = 1                    # 0=off, 1=EVP, 2=EAP
     ndte: int = 120                  # EVP subcycles per dynamics step
+    evp_algorithm: str = "xla"       # xla | pallas (fused VMEM subcycles)
     revised_evp: bool = False
     yield_curve: str = "ellipse"
     e_ratio: float = 2.0             # yield-curve axis ratio

@@ -488,7 +488,14 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                 ev = er.evp
                 a11n, a12n = er.a11n, er.a12n
             else:
-                ev = evp(dt_dyn, p, grid, topo, aice=agg.aice, vice=agg.vice,
+                evp_fn = evp
+                if (cfg.dyn.evp_algorithm == "pallas"
+                        and not topo.sharded
+                        and topo.ns not in ("tripole", "tripoleT")):
+                    from cice5_tpu.ops.pallas.evp_fused import evp_fused
+                    evp_fn = evp_fused
+                ev = evp_fn(dt_dyn, p, grid, topo, aice=agg.aice,
+                         vice=agg.vice,
                          vsno=agg.vsno, strength=strength, strairxT=strairxT,
                          strairyT=strairyT, uocn=forcing.uocn,
                          vocn=forcing.vocn, uvel=uvel, vvel=vvel,
