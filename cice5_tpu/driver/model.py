@@ -143,7 +143,8 @@ class Model:
     def run(self, state: State, nsteps: int, start_step: int = 0,
             diag_every: int = 0, diag_fn=None, history=None,
             history_dir: str = "history", restart_every: int = 0,
-            restart_dir: str = "restart", log=print):
+            restart_dir: str = "restart", log=print,
+            check_every: int = 0):
         """Time loop (CICE_RunMod.F90:37-90 CICE_Run): step + diagnostics +
         history accumulation/write + restart dumps."""
         import os
@@ -162,6 +163,14 @@ class Model:
                 state = restore_ice(cfg.time.dt, cfg.forcing.trestore,
                                     state, rest, self.topo)
             info = self.calendar.info(istep + 1, cfg.time.dt)
+
+            if check_every and (istep % check_every == 0):
+                from cice5_tpu.io.diagnostics import check_state
+                if not check_state(state, self.grid, self.tr, cfg.nilyr,
+                                   cfg.nslyr, istep=istep, log=log):
+                    raise RuntimeError(
+                        f"check_state failed at istep {istep} "
+                        "(see log for the offending cell dump)")
 
             if diag_every and (istep % diag_every == 0):
                 gd = diag_mod.compute_diags(state, self.grid, self.tr,

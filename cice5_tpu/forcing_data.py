@@ -177,3 +177,47 @@ class MonthlyForcing:
             frzmlt=get("frzmlt", 0.0), Tf=Tf,
             qdp=get("qdp", 0.0), hmix=get("hmix", 20.0),
             yday=jnp.asarray(yday, dtype), coszen=coszen)
+
+
+@dataclasses.dataclass
+class RecordForcing:
+    """Fixed-interval record dataset driver (the ncar_data/LY_data pattern,
+    ice_forcing.F90:1837-2520): fields sampled every ``sec_per_rec``
+    seconds through the year (e.g. 6-hourly = 1460 records), linearly
+    interpolated between the two bracketing records.
+
+    recslot=1: records valid at the END of their interval (ice_forcing
+    default for 6-hourly fluxes); recslot=2: at the middle.
+    """
+    fields: Mapping[str, np.ndarray]      # name -> (nrec, ny, nx)
+    sec_per_rec: float = 21600.0
+    recslot: int = 1
+    atm_data_type: str = "ncar"
+    precip_units: str = "mks"
+    days_per_year: int = 365
+    defaults: Mapping[str, float] = dataclasses.field(default_factory=dict)
+
+    def raw_at(self, istep: int, dt: float):
+        from cice5_tpu.io.readers import interp_coeff
+        c1, c2 = interp_coeff(istep, dt, self.recslot, self.sec_per_rec)
+        nrec = next(iter(self.fields.values())).shape[0]
+        tt = istep * dt
+        if self.recslot == 1:
+            # t1 = floor(tt/sec)*sec is the END of record n1's interval
+            n1 = int(tt // self.sec_per_rec) % nrec
+            n2 = (n1 + 1) % nrec
+        else:
+            n1 = int((tt - self.sec_per_rec / 2) // self.sec_per_rec) % nrec
+            n2 = (n1 + 1) % nrec
+        return {k: c1 * v[n1] + c2 * v[n2] for k, v in self.fields.items()}
+
+    def forcing_at(self, istep: int, dt: float, grid,
+                   dtype=jnp.float32) -> Forcing:
+        raw = self.raw_at(istep, dt)
+        yday = (istep * dt / 86400.0) % self.days_per_year + 1.0
+        mf = MonthlyForcing(fields={}, days_per_year=self.days_per_year,
+                            atm_data_type=self.atm_data_type,
+                            precip_units=self.precip_units,
+                            defaults=self.defaults)
+        mf.raw_at = lambda _y: raw        # reuse the assembly path
+        return mf.forcing_at(yday, grid, dtype=dtype)

@@ -94,3 +94,34 @@ def print_state(state, grid, tr, nilyr, nslyr, j: int, i: int,
                  f"vvel {float(state.vvel[j, i]):.4f} "
                  f"sst {float(state.sst[j, i]):.3f}")
     return "\n".join(lines)
+
+
+def check_state(state, grid, tr, nilyr, nslyr, istep=None, log=print):
+    """Failure detection (the debug_ice / print_points_state hook,
+    ice_diagnostics.F90:1331-1601 + drivers/cice/CICE.F90:76): scan the
+    state for NaN/Inf or physically impossible values; on failure print the
+    full column state of the worst cell and return False.
+
+    Host-side (call between steps, on gathered arrays)."""
+    import numpy as np
+    checks = [
+        ("aicen", np.asarray(state.aicen), -1e-6, 1.0 + 1e-6),
+        ("vicen", np.asarray(state.vicen), -1e-6, 100.0),
+        ("vsnon", np.asarray(state.vsnon), -1e-6, 50.0),
+        ("uvel", np.asarray(state.uvel), -5.0, 5.0),
+        ("vvel", np.asarray(state.vvel), -5.0, 5.0),
+        ("Tsfc", np.asarray(state.trcrn[:, tr.nt_Tsfc]), -100.0, 1e-6),
+    ]
+    for name, arr, lo, hi in checks:
+        bad = ~np.isfinite(arr) | (arr < lo) | (arr > hi)
+        if bad.any():
+            idx = np.argwhere(bad)[0]
+            j, i = int(idx[-2]), int(idx[-1])
+            pre = f"istep {istep}: " if istep is not None else ""
+            log(f"{pre}check_state FAILED: {name}"
+                f"[{','.join(map(str, idx))}] = {arr[tuple(idx)]}"
+                f" outside [{lo}, {hi}]")
+            log(print_state(state, grid, tr, nilyr, nslyr, j, i,
+                            label=f"bad cell ({j},{i})"))
+            return False
+    return True

@@ -634,10 +634,44 @@ def zap_small_areas(dt, tr: TracerRegistry, nilyr, nslyr, *, aicen, vicen,
                    dfresh=dfresh, dfsalt=dfsalt, dfhocn=dfhocn)
 
 
+def zap_snow_temperature(dt, tr: TracerRegistry, nslyr, *, aicen, vsnon,
+                         trcrn):
+    """Remove snow whose diagnosed temperature is out of bounds
+    (ice_itd.F90:2274-2420): Tmin = -100 C; Tmax from the roundoff bound
+    -zqsn*puny*nslyr/(rhos*cp_ice*vsnon). Zapped snow mass/energy go to the
+    ocean. Returns (vsnon, trcrn, dfresh, dfhocn)."""
+    TMIN = -100.0
+    hsn = jnp.where(aicen > ct.puny,
+                    vsnon / jnp.maximum(aicen, ct.puny), 0.0)
+    qsno = trcrn[:, tr.nt_qsno:tr.nt_qsno + nslyr]     # (ncat,nslyr,...)
+    thick = (hsn > ct.hs_min)[:, None]
+    zqsn = jnp.where(thick, qsno, -ct.rhos * ct.Lfresh)
+    Tmax = jnp.where(thick,
+                     -zqsn * ct.puny * nslyr
+                     / (ct.rhos * ct.cp_ice
+                        * jnp.maximum(vsnon, ct.puny)[:, None]),
+                     ct.puny)
+    zTsn = (ct.Lfresh + zqsn / ct.rhos) / ct.cp_ice
+    bad = jnp.any((zTsn < TMIN) | (zTsn > Tmax), axis=1) \
+        & (aicen > ct.puny)
+    dfresh = jnp.sum(jnp.where(bad, ct.rhos * vsnon / dt, 0.0), axis=0)
+    dfhocn = jnp.sum(jnp.where(bad[:, None], qsno * vsnon[:, None] / nslyr,
+                               0.0), axis=(0, 1)) / dt
+    vsnon = jnp.where(bad, 0.0, vsnon)
+    trcrn = trcrn.at[:, tr.nt_qsno:tr.nt_qsno + nslyr].set(
+        jnp.where(bad[:, None], -ct.rhos * ct.Lfresh, qsno))
+    return vsnon, trcrn, dfresh, dfhocn
+
+
 def cleanup_itd(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
                 vicen, vsnon, trcrn) -> Cleanup:
-    """rebin + zap (ice_itd.F90:1514-1769 cleanup_itd)."""
+    """rebin + snow-temperature zap + small-area zap
+    (ice_itd.F90:1514-1769 cleanup_itd)."""
     aicen, vicen, vsnon, trcrn = rebin(tr, hin_max, aicen, vicen, vsnon,
                                        trcrn)
-    return zap_small_areas(dt, tr, nilyr, nslyr, aicen=aicen, vicen=vicen,
-                           vsnon=vsnon, trcrn=trcrn)
+    vsnon, trcrn, dfresh_s, dfhocn_s = zap_snow_temperature(
+        dt, tr, nslyr, aicen=aicen, vsnon=vsnon, trcrn=trcrn)
+    out = zap_small_areas(dt, tr, nilyr, nslyr, aicen=aicen, vicen=vicen,
+                          vsnon=vsnon, trcrn=trcrn)
+    return out._replace(dfresh=out.dfresh + dfresh_s,
+                        dfhocn=out.dfhocn + dfhocn_s)

@@ -144,3 +144,41 @@ class TestMonthlyForcing:
         st, diag = m.step(st, f)
         assert np.isfinite(np.asarray(st.vicen)).all()
         assert bool(diag.therm_converged)
+
+
+class TestRecordForcing:
+    def test_six_hourly_interpolation(self):
+        from cice5_tpu.forcing_data import RecordForcing
+        ny, nx = 6, 8
+        nrec = 8     # two days of 6-hourly records
+        Tair = (250.0 + np.arange(nrec))[:, None, None] \
+            * np.ones((1, ny, nx))
+        ds = RecordForcing(fields={"Tair": Tair}, sec_per_rec=21600.0,
+                           recslot=1, atm_data_type="oned")
+        # istep at exactly a record boundary (dt=3600, step 6 => 21600 s
+        # = end of record 0's interval => pure record 1 value? recslot=1:
+        # record n valid at end of interval n
+        raw = ds.raw_at(6, 3600.0)
+        np.testing.assert_allclose(raw["Tair"], 251.0, rtol=1e-6)
+        # halfway through the next interval: average of records 1 and 2
+        raw = ds.raw_at(9, 3600.0)
+        np.testing.assert_allclose(raw["Tair"], 251.5, rtol=1e-6)
+
+    def test_builds_full_forcing(self):
+        import dataclasses
+        from cice5_tpu.config import gx3_config
+        from cice5_tpu.forcing_data import RecordForcing
+        from cice5_tpu.grid import make_grid
+        cfg = gx3_config()
+        cfg = cfg.replace(grid=dataclasses.replace(cfg.grid, ny=6, nx=8))
+        g = make_grid(cfg)
+        nrec = 4
+        ds = RecordForcing(
+            fields={"Tair": np.full((nrec, 6, 8), 260.0),
+                    "fsw": np.full((nrec, 6, 8), 120.0)},
+            atm_data_type="ncar", precip_units="mks")
+        f = ds.forcing_at(3, 3600.0, g)
+        np.testing.assert_allclose(np.asarray(f.Tair), 260.0, rtol=1e-6)
+        tot = np.asarray(f.swvdr + f.swvdf + f.swidr + f.swidf)
+        np.testing.assert_allclose(tot, 120.0 * 0.92, rtol=1e-5)  # ncar bias
+        assert np.isfinite(np.asarray(f.flw)).all()

@@ -220,3 +220,33 @@ class TestZap:
         np.testing.assert_allclose(np.asarray(r.trcrn[1, tr.nt_Tsfc]),
                                    ct.Tocnfrz)
         assert np.all(np.asarray(r.dfresh) > 0.0)
+
+
+class TestZapSnowTemperature:
+    def test_bad_snow_zapped_to_ocean(self, cfg, tr):
+        from cice5_tpu import constants as ct
+        B = (4,)
+        ncat = cfg.ncat
+        aicen = jnp.full((ncat,) + B, 0.15)
+        vsnon = jnp.full((ncat,) + B, 0.02)
+        trcrn = jnp.zeros((ncat, tr.ntrcr) + B)
+        # healthy snow enthalpy everywhere...
+        qs_ok = -ct.rhos * (ct.Lfresh + ct.cp_ice * 10.0)   # T = -10 C
+        trcrn = trcrn.at[:, tr.nt_qsno].set(qs_ok)
+        # ...except one insane category/cell (T << -100 C)
+        qs_bad = -ct.rhos * (ct.Lfresh + ct.cp_ice * 500.0)
+        trcrn = trcrn.at[1, tr.nt_qsno, 2].set(qs_bad)
+        vs, t2, dfresh, dfhocn = itd.zap_snow_temperature(
+            3600.0, tr, cfg.nslyr, aicen=aicen, vsnon=vsnon, trcrn=trcrn)
+        # the bad cell's snow is gone, others untouched
+        assert float(vs[1, 2]) == 0.0
+        assert float(vs[0, 2]) == 0.02
+        assert float(vs[1, 1]) == 0.02
+        # mass + energy fluxes to the ocean from the zapped snow only
+        np.testing.assert_allclose(float(dfresh[2]),
+                                   ct.rhos * 0.02 / 3600.0, rtol=1e-6)
+        assert float(dfhocn[2]) < 0.0
+        assert float(dfresh[0]) == 0.0
+        # snow enthalpy reset to latent-only
+        np.testing.assert_allclose(float(t2[1, tr.nt_qsno, 2]),
+                                   -ct.rhos * ct.Lfresh, rtol=1e-6)
