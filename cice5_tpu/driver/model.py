@@ -125,6 +125,10 @@ class Model:
         self._jstep = jax.jit(partial(
             step_fn, cfg=cfg, tr=self.tr, topo=self.topo,
             hin_max=self.hin_max, salinz=self.salinz))
+        self._jforcing = jax.jit(partial(
+            idealized_polar_forcing, self.grid.shape,
+            dtype=cfg.xp_dtype, tlat=self.grid.TLAT,
+            tlon=self.grid.TLON))
 
     def init_state(self, **kw) -> State:
         return init_state(self.cfg, self.grid, self.tr, self.hin_max,
@@ -132,10 +136,7 @@ class Model:
 
     def forcing_at(self, istep: int) -> Forcing:
         info = self.calendar.info(istep, self.cfg.time.dt)
-        return idealized_polar_forcing(self.grid.shape, info.yday,
-                                       dtype=self.cfg.xp_dtype,
-                                       tlat=self.grid.TLAT,
-                                       tlon=self.grid.TLON)
+        return self._jforcing(info.yday)
 
     def step(self, state: State, forcing: Forcing):
         return self._jstep(state, forcing, self.grid)

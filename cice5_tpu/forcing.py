@@ -88,27 +88,32 @@ def idealized_polar_forcing(shape, yday: float, *, Tair_mean=-15.0,
                             tlon=None) -> Forcing:
     """Analytic seasonal polar forcing (the 'oned'/col-config analog):
     seasonal air temperature, daylight-dependent SW, P&W longwave."""
+    # fully traceable in yday so Model can jit the forcing construction
+    # (host-side per-step array building dominated long-run wall time)
     f = lambda v: jnp.full(shape, v, dtype)
     from cice5_tpu.models.radiation.dedd import compute_coszen
-    sec = (yday - int(yday)) * 86400.0
+    yd = jnp.asarray(yday, dtype)
+    day = jnp.floor(yd)
+    sec = (yd - day) * 86400.0
     if tlat is not None:
-        coszen = compute_coszen(tlat, tlon, float(int(yday)), sec).astype(dtype)
+        coszen = compute_coszen(tlat, tlon, day, sec).astype(dtype)
     else:
         coszen = f(0.3)
     # season: coldest at yday ~ 15
-    phase = 2.0 * math.pi * (yday - 196.0) / 365.0
-    TairC = Tair_mean + Tair_amp * math.cos(phase)
+    phase = 2.0 * jnp.pi * (yd - 196.0) / 365.0
+    TairC = Tair_mean + Tair_amp * jnp.cos(phase)
     Tair = TairC + ct.Tffresh
     # daylight SW: peaks with the warm season (~ yday 196), max ~ 280 W/m2
-    fsw = max(0.0, 280.0 * math.cos(phase))
-    swvdr, swvdf, swidr, swidf = sw_partition(f(fsw))
-    Qa = 0.0001 + 0.0003 * max(0.0, (TairC + 30.0) / 30.0)
-    flw = longwave_parkinson_washington(f(Tair), cldf)
+    fsw = jnp.maximum(0.0, 280.0 * jnp.cos(phase))
+    bc = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype), shape)
+    swvdr, swvdf, swidr, swidf = sw_partition(bc(fsw))
+    Qa = 0.0001 + 0.0003 * jnp.maximum(0.0, (TairC + 30.0) / 30.0)
+    flw = longwave_parkinson_washington(bc(Tair), cldf)
     sss = f(sss_val)
     return Forcing(
         uatm=f(wind_speed), vatm=f(0.0), wind=f(wind_speed), zlvl=f(10.0),
-        potT=f(Tair), Tair=f(Tair), Qa=f(Qa), rhoa=f(1.3), flw=flw,
-        fsnow=f(3.0e-6 if TairC < 0 else 0.0), frain=f(0.0),
+        potT=bc(Tair), Tair=bc(Tair), Qa=bc(Qa), rhoa=f(1.3), flw=flw,
+        fsnow=bc(jnp.where(TairC < 0, 3.0e-6, 0.0)), frain=f(0.0),
         swvdr=swvdr, swvdf=swvdf, swidr=swidr, swidf=swidf,
         sss=sss, sst=Tf_from_sss(sss), uocn=f(0.0), vocn=f(0.0),
         ss_tltx=f(0.0), ss_tlty=f(0.0), frzmlt=f(0.0),

@@ -523,34 +523,51 @@ def remap_fields(grid, topo: Topology, geom: RemapGeometry, *, mm, tm,
     mxav = jnp.where(mm > 0.0, mx * XXAV / denom, 0.0)
     myav = jnp.where(mm > 0.0, my * YYAV / denom, 0.0)
 
+    # tracer reconstructions, BATCHED by (type, parent) class so the
+    # limited_gradient neighborhood passes run once per class instead of
+    # once per tracer (limited_gradient accepts leading batch axes)
     ntrace = tm.shape[0]
-    tcs, txs, tys = [], [], []
+    tcs = [None] * ntrace
+    txs = [None] * ntrace
+    tys = [None] * ntrace
     mtx = [None] * ntrace
     mty = [None] * ntrace
+
+    idx1 = [nt for nt in range(ntrace) if tracer_type[nt] == 1]
+    if idx1:
+        sel = jnp.asarray(idx1)
+        tx_b, ty_b = limited_gradient(tm[sel], mmask, mxav, myav, topo)
+        tc_b = tm[sel] - tx_b * mxav - ty_b * myav
+        # center of mass*tracer for dependents (:1208-1240)
+        w2 = mc * tx_b + mx * tc_b
+        w3 = mc * ty_b + my * tc_b
+        mt = mm * tm[sel]
+        d2 = jnp.where(jnp.abs(mt) > 0.0, mt, 1.0)
+        ok = jnp.abs(mt) > ct.puny
+        mtx_b = jnp.where(ok, (w2 * XXAV) / d2, 0.0)
+        mty_b = jnp.where(ok, (w3 * YYAV) / d2, 0.0)
+        for k, nt in enumerate(idx1):
+            tcs[nt], txs[nt], tys[nt] = tc_b[k], tx_b[k], ty_b[k]
+            mtx[nt], mty[nt] = mtx_b[k], mty_b[k]
+
+    by_parent: dict = {}
     for nt in range(ntrace):
-        if tracer_type[nt] == 1:
-            tx, ty = limited_gradient(tm[nt], mmask, mxav, myav, topo)
-            tc = tm[nt] - tx * mxav - ty * myav
-            # center of mass*tracer for dependents (:1208-1240)
-            w1 = mc * tc
-            w2 = mc * tx + mx * tc
-            w3 = mc * ty + my * tc
-            d2 = jnp.where(jnp.abs(mm * tm[nt]) > 0.0, mm * tm[nt], 1.0)
-            ok = jnp.abs(mm * tm[nt]) > ct.puny
-            mtx[nt] = jnp.where(ok, (w2 * XXAV) / d2, 0.0)
-            mty[nt] = jnp.where(ok, (w3 * YYAV) / d2, 0.0)
-        elif tracer_type[nt] == 2:
-            p = parent[nt]
-            tmask_p = (jnp.abs(tm[p]) > 0.0).astype(mm.dtype) * mmask
-            tx, ty = limited_gradient(tm[nt], tmask_p, mtx[p], mty[p], topo)
-            tc = tm[nt] - tx * mtx[p] - ty * mty[p]
-        else:     # type 3: piecewise constant
-            tx = jnp.zeros_like(mm)
-            ty = jnp.zeros_like(mm)
-            tc = tm[nt]
-        tcs.append(tc)
-        txs.append(tx)
-        tys.append(ty)
+        if tracer_type[nt] == 2:
+            by_parent.setdefault(parent[nt], []).append(nt)
+    for p, idxs in by_parent.items():
+        sel = jnp.asarray(idxs)
+        tmask_p = (jnp.abs(tm[p]) > 0.0).astype(mm.dtype) * mmask
+        tx_b, ty_b = limited_gradient(tm[sel], tmask_p, mtx[p], mty[p],
+                                      topo)
+        tc_b = tm[sel] - tx_b * mtx[p] - ty_b * mty[p]
+        for k, nt in enumerate(idxs):
+            tcs[nt], txs[nt], tys[nt] = tc_b[k], tx_b[k], ty_b[k]
+
+    for nt in range(ntrace):
+        if tracer_type[nt] == 3:
+            tcs[nt] = tm[nt]
+            txs[nt] = jnp.zeros_like(mm)
+            tys[nt] = jnp.zeros_like(mm)
     tc_all = jnp.stack(tcs)
     tx_all = jnp.stack(txs)
     ty_all = jnp.stack(tys)
