@@ -11,7 +11,8 @@ ppermute halos, Pallas EVP subcycling kernel.
 """
 from cice5_tpu.config import (ModelConfig, GridConfig, ThermoConfig, DynConfig,
                               ShortwaveConfig, TracerConfig, ForcingConfig,
-                              TimeConfig, column_config, gx3_config)
+                              TimeConfig, column_config, gx3_config,
+                              rect_config, tp1_config)
 from cice5_tpu.state import State, TracerRegistry, build_tracer_registry, zeros_state
 from cice5_tpu.grid import Grid, make_grid
 

@@ -33,6 +33,11 @@ class GridConfig:
     # Barrow AK origin (ice_grid.F90:1208) keeps the whole rectangular
     # domain above set_state_var's 70N ice-edge threshold
     lon0: float = -156.5
+    # POP grid file inputs (ice_grid.F90:543 popgrid / :659 popgrid_nc),
+    # used when grid_type is displaced_pole/tripole
+    grid_format: str = "nc"          # nc | bin  (grid_format namelist)
+    grid_file: str | None = None
+    kmt_file: str | None = None
 
 
 @dataclass(frozen=True)
@@ -64,9 +69,9 @@ class DynConfig:
     kdyn: int = 1                    # 0=off, 1=EVP, 2=EAP
     ndte: int = 120                  # EVP subcycles per dynamics step
     evp_algorithm: str = "xla"       # xla | pallas (fused VMEM subcycles)
-    revised_evp: bool = False
-    yield_curve: str = "ellipse"
-    e_ratio: float = 2.0             # yield-curve axis ratio
+    revised_evp: bool = False        # Bouillon-13 revised EVP (ice_dyn_shared.F90:230)
+    yield_curve: str = "ellipse"     # only 'ellipse' exists (ice_dyn_shared.F90:41)
+    e_ratio: float = 2.0             # yield-curve axis ratio e (ecci = 1/e^2)
     Pstar: float = 2.75e4            # Hibler strength P* (N/m^2)
     Cstar: float = 20.0              # Hibler strength C*
     kstrength: int = 1               # 0=Hibler79, 1=Rothrock75
@@ -76,16 +81,12 @@ class DynConfig:
     Cf: float = 17.0                 # ratio of ridging work to PE change
     cosw: float = 1.0                # cos/sin of ocean turning angle
     sinw: float = 0.0
-    arlx: float = 300.0              # revised-EVP stress relaxation
-    brlx: float = 300.0              # revised-EVP momentum relaxation
-    basalstress: bool = False
-    Ktens: float = 0.0               # tensile strength factor
     # EAP
     a11_0: float = 0.5
     # transport
     advection: str = "remap"         # remap | upwind | none
     conserv_check: bool = False      # transport global conservation check
-    monotonicity_check: bool = False
+    monotonicity_check: bool = False # transport monotone-remap check
 
 
 @dataclass(frozen=True)
@@ -223,11 +224,86 @@ def column_config(**overrides) -> ModelConfig:
     return cfg.replace(**overrides) if overrides else cfg
 
 
-def gx3_config(**overrides) -> ModelConfig:
-    """gx3-equivalent standalone config (100x116 3-degree displaced-pole analog,
-    run here on a rectangular grid until popgrid readers land)."""
+def rect_config(ny: int = 116, nx: int = 100, **overrides) -> ModelConfig:
+    """Synthetic rectangular basin with default physics — the standard
+    small/fast testing config (the reference's rectgrid, ice_grid.F90:1145)."""
     cfg = ModelConfig(
-        grid=GridConfig(nx=100, ny=116, grid_type="rectangular",
+        grid=GridConfig(nx=nx, ny=ny, grid_type="rectangular",
                         ew_boundary="cyclic", ns_boundary="open"),
     )
     return cfg.replace(**overrides) if overrides else cfg
+
+
+_REF_INPUTS = "/root/reference/input_templates"
+
+
+def gx3_config(grid_dir: str | None = None, **overrides) -> ModelConfig:
+    """gx3 standalone config mirroring /root/reference/input_templates/gx3/ice_in:
+    real 100x116 3-degree POP displaced-pole grid (global_gx3.grid.nc +
+    global_gx3.kmt.nc), mushy thermo, delta-Eddington shortwave,
+    iage/lvl/pond_lvl tracers, Rothrock strength, slab mixed-layer ocean."""
+    d = grid_dir or f"{_REF_INPUTS}/gx3"
+    cfg = ModelConfig(
+        grid=GridConfig(nx=100, ny=116, grid_type="displaced_pole",
+                        ew_boundary="cyclic", ns_boundary="open",
+                        grid_format="nc",
+                        grid_file=f"{d}/global_gx3.grid.nc",
+                        kmt_file=f"{d}/global_gx3.kmt.nc"),
+        thermo=ThermoConfig(ktherm=2),
+        dyn=DynConfig(kdyn=1, ndte=120, advection="remap", kstrength=1,
+                      krdg_partic=1, krdg_redist=1, mu_rdg=3.0, Cf=17.0),
+        shortwave=ShortwaveConfig(shortwave="dEdd", R_ice=0.0, R_pnd=0.0,
+                                  R_snw=1.5, dT_mlt=1.5, rsnw_mlt=1500.0),
+        tracers=TracerConfig(tr_iage=True, tr_lvl=True, tr_pond_lvl=True,
+                             hs0=0.0, hs1=0.03, hp1=0.01, dpscale=1e-3,
+                             frzpnd="hlid", rfracmin=0.15, rfracmax=1.0,
+                             pndaspect=0.8),
+        forcing=ForcingConfig(oceanmixed_ice=True, natmiter=5),
+        time=TimeConfig(dt=3600.0, year_init=1997),
+        kcatbound=0,
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def gx1_parity_config(**overrides) -> ModelConfig:
+    """gx1 physics-parity config mirroring input_templates/gx1/ice_in:
+    320x384, mushy thermo (ktherm=2), delta-Eddington shortwave,
+    iage/FY/lvl/pond_lvl tracers, Rothrock strength, ndte=120, remap
+    transport, slab mixed-layer ocean, kcatbound=0 — the configuration the
+    CMHB IJHPCA-2014 baseline timings were measured at (BASELINE.md).
+
+    The reference does not ship the gx1 grid file (only the KMT land mask),
+    so the grid is synthesized by bench.py (synth_gx1_grid: 1-degree
+    global mesh + the real global_gx1.kmt land mask, tripole ns seam) and
+    passed to Model(cfg, grid=...)."""
+    cfg = ModelConfig(
+        grid=GridConfig(nx=320, ny=384, grid_type="tripole",
+                        ew_boundary="cyclic", ns_boundary="tripole"),
+        thermo=ThermoConfig(ktherm=2),
+        dyn=DynConfig(kdyn=1, ndte=120, advection="remap", kstrength=1,
+                      krdg_partic=1, krdg_redist=1, mu_rdg=4.0, Cf=17.0),
+        shortwave=ShortwaveConfig(shortwave="dEdd", R_ice=0.0, R_pnd=0.0,
+                                  R_snw=1.5, dT_mlt=1.5, rsnw_mlt=1500.0),
+        tracers=TracerConfig(tr_iage=True, tr_FY=True, tr_lvl=True,
+                             tr_pond_lvl=True, hs0=0.0, hs1=0.03, hp1=0.01,
+                             dpscale=1e-3, frzpnd="hlid"),
+        forcing=ForcingConfig(oceanmixed_ice=True, natmiter=5),
+        time=TimeConfig(dt=3600.0),
+        kcatbound=0,
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def tp1_config(grid_dir: str | None = None, **overrides) -> ModelConfig:
+    """tp1 tripole config (input_templates/tp1): the shipped 100x116 POP grid
+    driven with a tripole north seam (ns_boundary_type tripole), otherwise
+    gx3 physics."""
+    d = grid_dir or f"{_REF_INPUTS}/tp1"
+    cfg = gx3_config()
+    return cfg.replace(
+        grid=GridConfig(nx=100, ny=116, grid_type="tripole",
+                        ew_boundary="cyclic", ns_boundary="tripole",
+                        grid_format="nc",
+                        grid_file=f"{d}/global_tp1.grid.nc",
+                        kmt_file=f"{d}/global_tp1.kmt.nc"),
+        **overrides)

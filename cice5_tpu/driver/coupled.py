@@ -45,6 +45,8 @@ class ScaledFluxes(NamedTuple):
     fhocn: jnp.ndarray
     fswthru: jnp.ndarray
     alvdr: jnp.ndarray
+    alvdf: jnp.ndarray
+    alidr: jnp.ndarray
     alidf: jnp.ndarray
 
 
@@ -64,6 +66,8 @@ def scale_fluxes(diag, *, aice, tmask, Tf, Tair, Qa) -> ScaledFluxes:
         evap=s(diag.evap), fresh=s(diag.fresh), fsalt=s(diag.fsalt),
         fhocn=s(diag.fhocn), fswthru=s(diag.fswthru),
         alvdr=jnp.where(has_ice, diag.alvdr * ar, 0.0),
+        alvdf=jnp.where(has_ice, diag.alvdf * ar, 0.0),
+        alidr=jnp.where(has_ice, diag.alidr * ar, 0.0),
         alidf=jnp.where(has_ice, diag.alidf * ar, 0.0))
 
 

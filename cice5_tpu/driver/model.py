@@ -108,12 +108,17 @@ def init_state(cfg: ModelConfig, grid: Grid, tr, hin_max, salinz,
 
 @dataclass
 class Model:
-    """Convenience driver for standalone runs."""
+    """Convenience driver for standalone runs.
+
+    grid: optional pre-built Grid (e.g. synthesized or read elsewhere);
+    defaults to make_grid(cfg)."""
     cfg: ModelConfig
+    grid: Grid | None = None
 
     def __post_init__(self):
         cfg = self.cfg
-        self.grid = make_grid(cfg)
+        if self.grid is None:
+            self.grid = make_grid(cfg)
         self.tr = build_tracer_registry(cfg)
         self.hin_max = itd.category_bounds(cfg.ncat, cfg.kitd, cfg.kcatbound)
         self.salinz = thshared.salinity_profile(cfg.nilyr, cfg.thermo.saltmax,
@@ -181,7 +186,8 @@ class Model:
                     diag_fn(istep, state, diag)
 
             if history is not None:
-                history.accum(hist_mod.diag_to_values(diag, state, self.grid),
+                history.accum(hist_mod.diag_to_values(diag, state, self.grid,
+                                                      tr=self.tr),
                               info.time)
                 if history.ready(info):
                     fn = os.path.join(

@@ -74,11 +74,16 @@ class StepDiag(NamedTuple):
     dvirdgdt: jnp.ndarray
     divu: jnp.ndarray
     shear: jnp.ndarray
-    alvdr: jnp.ndarray    # cell-mean albedos (incl. open water)
+    alvdr: jnp.ndarray    # cell-mean albedos (incl. open water), 4 bands
+    alvdf: jnp.ndarray
+    alidr: jnp.ndarray
     alidf: jnp.ndarray
     Tsfc: jnp.ndarray     # cell-mean surface temperature
     therm_converged: jnp.ndarray
     ferr_max: jnp.ndarray
+    fpond: jnp.ndarray          # net meltwater flux into ponds (m/step)
+    transport_conserv_err: jnp.ndarray   # 0 unless conserv_check
+    transport_mono_bad: jnp.ndarray      # 0 unless monotonicity_check
     faero_ocn: jnp.ndarray   # (n_aero, ny, nx); empty when tr_aero off
     flux_bio: jnp.ndarray    # (nbtrcr, ny, nx) BGC flux to ocean; empty
     PP_net: jnp.ndarray      # net primary production (mg C/m^2/s)
@@ -141,9 +146,18 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
             hpnd_r = trcrn[:, tr.nt_hpnd]
             if cfg.tracers.tr_pond_lvl:
                 apnd_r = apnd_r * trcrn[:, tr.nt_alvl]
+            elif cfg.tracers.tr_pond_topo:
+                # pond effective for radiation only while the refrozen lid
+                # is thinner than hp1 (ice_shortwave.F90:1516-1537)
+                eff = ((apnd_r * aicen > ct.puny)
+                       & (trcrn[:, tr.nt_ipnd] < cfg.tracers.hp1))
+                apnd_r = jnp.where(eff, apnd_r, 0.0)
         else:
             apnd_r = jnp.zeros_like(aicen)
             hpnd_r = jnp.zeros_like(aicen)
+
+        pond_scheme = ("topo" if cfg.tracers.tr_pond_topo
+                       else "lvl" if cfg.tracers.tr_pond_lvl else "cesm")
 
         def rad_one_dedd(aic, vic, vsn, tsf, ap, hp):
             return shortwave_dEdd(
@@ -153,7 +167,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                 swidr=forcing.swidr, swidf=forcing.swidf,
                 R_ice=sw.R_ice, R_pnd=sw.R_pnd, R_snw=sw.R_snw,
                 dT_mlt=sw.dT_mlt, rsnw_mlt=sw.rsnw_mlt, kalg=sw.kalg,
-                hs0=cfg.tracers.hs0, pndaspect=cfg.tracers.pndaspect)
+                hs0=cfg.tracers.hs0, hs1=cfg.tracers.hs1,
+                pndaspect=cfg.tracers.pndaspect, pond_scheme=pond_scheme)
 
         de = jax.vmap(rad_one_dedd)(aicen, vicen, vsnon, Tsfcn, apnd_r,
                                     hpnd_r)
@@ -188,7 +203,17 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     qsnon_tot = jnp.sum(zqsn, axis=1) * vsnon / nslyr
     Tbot, fbot, rside = vertical.frzmlt_bottom_lateral(
         dt, aice, frzmlt, vicen, vsnon, qicen_tot, qsnon_tot, sst, Tf,
-        state.strocnxT, state.strocnyT, ustar_min=cfg.thermo.ustar_min)
+        state.strocnxT, state.strocnyT, ustar_min=cfg.thermo.ustar_min,
+        Cdn_ocn=(Cw_ocn if cfg.thermo.fbot_xfer_type == "Cdn_ocn"
+                 else None))
+
+    # high-frequency (RASM) coupling uses winds relative to the ice drift
+    # at T points (ice_atmo.F90:220-227; Roberts et al 2014)
+    if cfg.forcing.highfreq:
+        uice_T = dyn.to_tgrid(state.uvel, grid, topo)
+        vice_T = dyn.to_tgrid(state.vvel, grid, topo)
+    else:
+        uice_T = vice_T = None
 
     # ---------------- per-category ABL + vertical thermo (vmap) ---------
     def therm_one(aic, vic, vsn, tsf, zqi, zqs, zsi, fswsfc, fswint, Iswabs,
@@ -204,7 +229,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                 sfctype="ice", Tsf=tsf, potT=forcing.potT, uatm=forcing.uatm,
                 vatm=forcing.vatm, wind=forcing.wind, zlvl=forcing.zlvl,
                 Qa=forcing.Qa, rhoa=forcing.rhoa,
-                natmiter=cfg.forcing.natmiter, Cdn_atm=Cdn_atm)
+                natmiter=cfg.forcing.natmiter, Cdn_atm=Cdn_atm,
+                highfreq=cfg.forcing.highfreq, uice=uice_T, vice=vice_T)
         res = vertical.thermo_vertical(
             dt, cfg, aicen=aic, vicen=vic, vsnon=vsn, Tsfcn=tsf,
             zqin=zqi, zqsn=zqs, zSin=zsi,
@@ -318,7 +344,14 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                 jnp.moveaxis(ares.aeroice[k], 1, 0))
         faero_ocn = jnp.sum(ares.faero_ocn, axis=1)   # sum over categories
 
+    fpond_step = jnp.zeros((ny, nx), dtype)   # pond water volume change (m)
     if tcfg.tr_pond:
+        def _pond_volume(tc, an):
+            v = tc[:, tr.nt_apnd] * tc[:, tr.nt_hpnd] * an
+            if tcfg.tr_pond_lvl:
+                v = v * tc[:, tr.nt_alvl]
+            return jnp.sum(v, axis=0)
+        fpond_step = -_pond_volume(trcrn, aicen)
         rfrac = tcfg.rfracmin + (tcfg.rfracmax - tcfg.rfracmin) * aice
         if tcfg.tr_pond_cesm:
             from cice5_tpu.models.tracers.ponds import compute_ponds_cesm
@@ -346,15 +379,27 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
             trcrn = trcrn.at[:, tr.nt_hpnd].set(pr.hpnd)
             trcrn = trcrn.at[:, tr.nt_ipnd].set(pr.ipnd)
         elif tcfg.tr_pond_topo:
-            from cice5_tpu.models.tracers.ponds import compute_ponds_topo_simple
-            ap, hp, ip = compute_ponds_topo_simple(
-                dt, aicen=aicen, vicen=vicen, vsnon=vsnon, Tsfcn=tres.Tsf,
+            # cell meltwater first feeds the ponds (fpond source terms from
+            # compute_ponds_cesm-style accumulation happen inside the topo
+            # scheme via the meltt/volp plumbing, ice_step_mod.F90:713-731)
+            from cice5_tpu.models.tracers.ponds import compute_ponds_topo
+            fsurf_cell = mrg(tres.fsurfn)
+            pt = compute_ponds_topo(
+                dt, aice=agg0.aice, aicen=aicen, vice=agg0.vice,
+                vicen=vicen, vsno=agg0.vsno, vsnon=vsnon,
+                meltt=meltt, fsurf=fsurf_cell, Tsfcn=tres.Tsf,
+                Tf=Tf, qicen=jnp.moveaxis(tres.zqin, 1, 0),
+                sicen=jnp.moveaxis(
+                    tres.zSin if cfg.thermo.ktherm == 2 else zSin, 1, 0),
                 apnd=trcrn[:, tr.nt_apnd], hpnd=trcrn[:, tr.nt_hpnd],
-                ipnd=trcrn[:, tr.nt_ipnd], meltt=tres.meltt,
-                melts=tres.melts, frain=forcing.frain, rfrac=rfrac[None])
-            trcrn = trcrn.at[:, tr.nt_apnd].set(ap)
-            trcrn = trcrn.at[:, tr.nt_hpnd].set(hp)
-            trcrn = trcrn.at[:, tr.nt_ipnd].set(ip)
+                ipnd=trcrn[:, tr.nt_ipnd], ktherm=cfg.thermo.ktherm,
+                heat_capacity=cfg.thermo.ktherm != 0)
+            trcrn = trcrn.at[:, tr.nt_apnd].set(pt.apnd)
+            trcrn = trcrn.at[:, tr.nt_hpnd].set(pt.hpnd)
+            trcrn = trcrn.at[:, tr.nt_ipnd].set(pt.ipnd)
+        # net water captured by ponds this step, the fpond accumulator
+        # (ice_flux.F90 fpond; schemes mirror every pond source/sink there)
+        fpond_step = fpond_step + _pond_volume(trcrn, aicen)
 
     # ---------------- biogeochemistry (CICE_RunMod.F90:179) --------------
     first_ice = state.first_ice
@@ -424,9 +469,13 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                           trcrn=trcrn, aice=agg1.aice, aice0=agg1.aice0,
                           frzmlt=frzmlt, Tf=Tf, salinz=salinz,
                           tr_FY=cfg.tracers.tr_FY, tr_lvl=cfg.tracers.tr_lvl,
-                          tr_iage=cfg.tracers.tr_iage)
+                          tr_iage=cfg.tracers.tr_iage,
+                          update_ocn_f=cfg.forcing.update_ocn_f,
+                          ktherm=cfg.thermo.ktherm)
     aicen, vicen, trcrn = nir.aicen, nir.vicen, nir.trcrn
     frazil = nir.frazil
+    fresh = fresh + nir.dfresh
+    fsalt = fsalt + nir.dfsalt
 
     lm = itd.lateral_melt(dt, tr, nilyr, nslyr, aicen=aicen, vicen=vicen,
                           vsnon=vsnon, trcrn=trcrn, rside=rside)
@@ -459,10 +508,26 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     dardg1dt = jnp.zeros((ny, nx), dtype)
     dvirdgdt = jnp.zeros((ny, nx), dtype)
 
+    conserv_err = jnp.zeros((), dtype)
+    mono_bad = jnp.zeros((), jnp.int32)
     if cfg.dyn.kdyn >= 1:
+        if cfg.dyn.yield_curve != "ellipse":
+            raise NotImplementedError(
+                f"yield_curve={cfg.dyn.yield_curve!r}: only 'ellipse' exists "
+                "(ice_dyn_shared.F90:41; 'teardrop' was never finished)")
         dt_dyn = dt / cfg.time.ndtd
-        p = dyn.EVPParams.classic(dt_dyn, cfg.dyn.ndte, cosw=cfg.dyn.cosw,
-                                  sinw=cfg.dyn.sinw)
+        if cfg.dyn.revised_evp:
+            from cice5_tpu.parallel import global_min
+            xmin = global_min(jnp.where(tmask,
+                                        jnp.minimum(grid.dxt, grid.dyt),
+                                        jnp.inf), topo)
+            p = dyn.EVPParams.revised(dt_dyn, cfg.dyn.ndte, xmin,
+                                      cosw=cfg.dyn.cosw, sinw=cfg.dyn.sinw,
+                                      e_ratio=cfg.dyn.e_ratio)
+        else:
+            p = dyn.EVPParams.classic(dt_dyn, cfg.dyn.ndte,
+                                      cosw=cfg.dyn.cosw, sinw=cfg.dyn.sinw,
+                                      e_ratio=cfg.dyn.e_ratio)
         for _ in range(cfg.time.ndtd):
             agg = itd.aggregate(tr, aicen, vicen, vsnon, trcrn)
             if cfg.dyn.kstrength == 1:
@@ -515,9 +580,18 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                     aice0=aice0_t)
             elif cfg.dyn.advection == "remap":
                 from cice5_tpu.models.transport.remap import transport_remap
-                aicen, vicen, vsnon, trcrn = transport_remap(
+                chk = (cfg.dyn.conserv_check, cfg.dyn.monotonicity_check)
+                out = transport_remap(
                     dt_dyn, grid, topo, tr, uvel=uvel, vvel=vvel,
-                    aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn)
+                    aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
+                    conserv_check=chk[0], monotonicity_check=chk[1])
+                if any(chk):
+                    aicen, vicen, vsnon, trcrn, tchk = out
+                    conserv_err = jnp.maximum(conserv_err,
+                                              tchk.conserv_err.astype(dtype))
+                    mono_bad = mono_bad + tchk.mono_violations
+                else:
+                    aicen, vicen, vsnon, trcrn = out
 
             # ridging
             aice0_r = jnp.maximum(1.0 - jnp.sum(aicen, 0), 0.0) * grid.hm
@@ -545,6 +619,10 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
 
     # ---------------- coupling prep: slab ocean update -------------------
     aggf = itd.aggregate(tr, aicen, vicen, vsnon, trcrn)
+    # meltwater retained in ponds does not reach the ocean
+    # (CICE_RunMod.F90:384-387 coupling_prep, l_mpond_fresh)
+    if cfg.forcing.l_mpond_fresh and cfg.tracers.tr_pond:
+        fresh = fresh - fpond_step * ct.rhofresh / dt
     if cfg.forcing.oceanmixed_ice:
         ml = ocean.ocean_mixed_layer(
             dt, sst=sst, Tf=Tf, hmix=forcing.hmix, qdp=forcing.qdp,
@@ -557,19 +635,26 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
             natmiter=cfg.forcing.natmiter)
         sst_new = ml.sst
         frzmlt_out = ml.frzmlt
+        if cfg.forcing.restore_sst:
+            # nudge the slab SST toward the data SST on the trestore
+            # timescale (ice_forcing.F90:3280-3285 ocn_data_clim)
+            trest = (cfg.forcing.trestore * ct.secday
+                     if cfg.forcing.trestore > 0 else dt)
+            sst_new = sst_new + (forcing.sst - sst_new) * dt / trest
     else:
         sst_new = sst
         frzmlt_out = forcing.frzmlt
 
     # cell-mean albedos incl. open water (coupling_prep, CICE_RunMod.F90:269)
-    alvdr = (jnp.sum(aicen * alb.alvdrn, axis=0)
-             + aggf.aice0 * ct.albocn)
-    alidf = (jnp.sum(aicen * alb.alidfn, axis=0)
-             + aggf.aice0 * ct.albocn)
-    # net absorbed SW for next step's scale_factor (coupled mode)
+    alvdr = jnp.sum(aicen * alb.alvdrn, axis=0) + aggf.aice0 * ct.albocn
+    alvdf = jnp.sum(aicen * alb.alvdfn, axis=0) + aggf.aice0 * ct.albocn
+    alidr = jnp.sum(aicen * alb.alidrn, axis=0) + aggf.aice0 * ct.albocn
+    alidf = jnp.sum(aicen * alb.alidfn, axis=0) + aggf.aice0 * ct.albocn
+    # net absorbed SW for next step's scale_factor: full 4-band sum
+    # (coupling_prep, drivers/cice/CICE_RunMod.F90:376-382)
     scale_factor = (
-        forcing.swvdr * (1.0 - alvdr) + forcing.swvdf * (1.0 - alvdr)
-        + forcing.swidr * (1.0 - alidf) + forcing.swidf * (1.0 - alidf))
+        forcing.swvdr * (1.0 - alvdr) + forcing.swvdf * (1.0 - alvdf)
+        + forcing.swidr * (1.0 - alidr) + forcing.swidf * (1.0 - alidf))
 
     new_state = state.replace(
         aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
@@ -588,9 +673,13 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         meltt=meltt, melts=melts, meltb=meltb, meltl=meltl, congel=congel,
         snoice=snoice, frazil=frazil, frzmlt=frzmlt_out,
         dardg1dt=dardg1dt, dvirdgdt=dvirdgdt, divu=divu, shear=shear_d,
-        alvdr=alvdr, alidf=alidf, Tsfc=aggf.trcr[tr.nt_Tsfc],
+        alvdr=alvdr, alvdf=alvdf, alidr=alidr, alidf=alidf,
+        Tsfc=aggf.trcr[tr.nt_Tsfc],
         therm_converged=jnp.all(tres.converged),
         ferr_max=jnp.max(tres.ferr),
+        fpond=fpond_step,
+        transport_conserv_err=conserv_err,
+        transport_mono_bad=mono_bad,
         faero_ocn=(faero_ocn if tcfg.tr_aero
                    else jnp.zeros((0, ny, nx), dtype)),
         flux_bio=(flux_bio if tcfg.skl_bgc

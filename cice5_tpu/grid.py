@@ -111,10 +111,13 @@ def _finish_grid(gcfg: GridConfig, ulat, ulon, htn, hte, angle, hm,
     cyc = gcfg.ew_boundary == "cyclic"
     sh = lambda a, di, dj: _shift(a, di, dj, cyc)
 
+    # primary_grid_lengths_HTN/HTE (ice_grid.F90:1409-1545): cyclic-x wrap for
+    # dxu/dyt; dxt extrapolated along the south row and dyu along the north row
     dxu = 0.5 * (htn + sh(htn, 1, 0))
     dxt = 0.5 * (htn + sh(htn, 0, -1))
-    dxt[0, :] = 0.5 * (htn[0, :] + (2.0 * htn[1, :] - htn[2, :]))  # j=1 extrap
+    dxt[0, :] = 2.0 * htn[1, :] - htn[2, :]          # j=1 extrap (:1462)
     dyu = 0.5 * (hte + sh(hte, 0, 1))
+    dyu[-1, :] = 2.0 * hte[-2, :] - hte[-3, :]       # j=ny extrap (:1517)
     dyt = 0.5 * (hte + sh(hte, -1, 0))
     if not cyc:
         dyt[:, 0] = 0.5 * (hte[:, 0] + (2.0 * hte[:, 1] - hte[:, 2]))
@@ -210,13 +213,38 @@ def popgrid_np(cfg: ModelConfig, ulat, ulon, htn, hte, angle, kmt) -> Grid:
     (the reader equivalent of ice_grid.F90:543-874 popgrid/popgrid_nc:
     ULAT/ULON in radians, HTN/HTE in meters, ANGLE in radians, KMT levels)."""
     hm = (np.asarray(kmt) >= 1).astype(np.float64)
+    # reference clamps file ANGLE into [-pi, pi] (ice_grid.F90:797-798)
+    angle = np.clip(np.asarray(angle, np.float64), -np.pi, np.pi)
     return _finish_grid(cfg.grid, np.asarray(ulat), np.asarray(ulon),
-                        np.asarray(htn), np.asarray(hte), np.asarray(angle),
+                        np.asarray(htn), np.asarray(hte), angle,
                         hm, cfg.xp_dtype)
+
+
+def popgrid(cfg: ModelConfig) -> Grid:
+    """Read + build a POP displaced-pole/tripole grid from the files named in
+    cfg.grid (ice_grid.F90:543 popgrid, :659 popgrid_nc)."""
+    from cice5_tpu.io import readers
+    g = cfg.grid
+    if not g.grid_file or not g.kmt_file:
+        raise ValueError(
+            f"grid_type={g.grid_type!r} needs grid_file/kmt_file in GridConfig")
+    if g.grid_format == "nc":
+        data = readers.read_pop_grid_nc(g.grid_file, g.kmt_file)
+    else:
+        data = readers.read_pop_grid_binary(g.grid_file, g.kmt_file,
+                                            g.nx, g.ny)
+    got = data["ULAT"].shape
+    if got != (g.ny, g.nx):
+        raise ValueError(f"grid file {g.grid_file} is {got[::-1]} (nx, ny) "
+                         f"but config says ({g.nx}, {g.ny})")
+    return popgrid_np(cfg, data["ULAT"], data["ULON"], data["HTN"],
+                      data["HTE"], data["ANGLE"], data["kmt"])
 
 
 def make_grid(cfg: ModelConfig, **kw) -> Grid:
     t = cfg.grid.grid_type
     if t in ("rectangular", "column"):
         return rectgrid(cfg, **kw)
-    raise NotImplementedError(f"grid_type={t} requires popgrid_np with data")
+    if t in ("displaced_pole", "tripole"):
+        return popgrid(cfg)
+    raise NotImplementedError(f"grid_type={t}")

@@ -159,8 +159,6 @@ class HistoryStream:
             else jnp.zeros_like(next(iter(values.values())))
             for f in self.fields])
         if self.buf is None:
-            self.buf = stack if not any(f.instantaneous for f in self.fields) \
-                else stack
             self.buf = stack
             self.time0 = time
         else:
@@ -246,7 +244,8 @@ def diag_to_values(diag, state, grid, tr=None) -> dict:
         "strairx": diag.strairxT, "strocnx": state.strocnxT,
         "dardg1dt": diag.dardg1dt, "dvirdgdt": diag.dvirdgdt,
         "frzmlt": diag.frzmlt, "sst": state.sst,
-        "albsni": diag.alvdr,
+        "albsni": (ct.awtvdr * diag.alvdr + ct.awtvdf * diag.alvdf
+                   + ct.awtidr * diag.alidr + ct.awtidf * diag.alidf),
         "PP_net": diag.PP_net, "grow_net": diag.grow_net,
     } | _tracer_values(state, tr)
 

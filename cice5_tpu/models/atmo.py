@@ -45,14 +45,28 @@ def _psixhu(x):
 
 def atmo_boundary_layer(*, sfctype: str, Tsf, potT, uatm, vatm, wind, zlvl,
                         Qa, rhoa, natmiter: int = 5,
-                        Cdn_atm=None) -> ABLResult:
+                        Cdn_atm=None, highfreq: bool = False,
+                        uice=None, vice=None) -> ABLResult:
     """Monin-Obukhov surface layer over 'ice' or 'ocn' (ice_atmo.F90:82-489).
 
     All inputs are (*B) arrays (zlvl may be scalar); ice-free cells are
     harmless (results masked downstream).
+
+    highfreq: RASM high-frequency coupling (Roberts et al 2014,
+    ice_atmo.F90:220-227,272-277,398-417): winds relative to the ice
+    velocity (uice/vice on the T grid) drive the turbulence scales and the
+    wind stress.
     """
     umin = 1.0
-    vmag = jnp.maximum(umin, wind)
+    hf = highfreq and sfctype == "ice"
+    if hf:
+        if uice is None or vice is None:
+            raise ValueError("highfreq coupling needs uice/vice")
+        relu, relv = uatm - uice, vatm - vice
+        relmag = jnp.sqrt(relu ** 2 + relv ** 2)
+        vmag = jnp.maximum(umin, relmag)
+    else:
+        vmag = jnp.maximum(umin, wind)
 
     if sfctype == "ice":
         qqq, TTT, Lheat = ct.qqqice, ct.TTTice, ct.Lsub
@@ -103,9 +117,15 @@ def atmo_boundary_layer(*, sfctype: str, Tsf, potT, uatm, vatm, wind, zlvl,
         tstar = rh * delt
         qstar = re * delq
 
-    tau = rhoa * ustar * rd
-    strx = tau * uatm
-    stry = tau * vatm
+    if hf:
+        # stress on relative wind (ice_atmo.F90:398-417)
+        tau = rhoa * rd * rd
+        strx = tau * relmag * relu
+        stry = tau * relmag * relv
+    else:
+        tau = rhoa * ustar * rd
+        strx = tau * uatm
+        stry = tau * vatm
 
     shcoef = rhoa * ustar * cp * rh + 1.0   # windless coefficient, Jordan 99
     lhcoef = rhoa * ustar * Lheat * re
@@ -119,7 +139,7 @@ def atmo_boundary_layer(*, sfctype: str, Tsf, potT, uatm, vatm, wind, zlvl,
     Tref = potT - delt * fac - 0.01 * ZTRF
     fac = (re / ct.vonkar) * (alz + al2 - psixh + psix2)
     Qref = Qa - delq * fac
-    Uref = vmag * rd / rdn
+    Uref = (relmag if hf else vmag) * rd / rdn
 
     return ABLResult(strx=strx, stry=stry, Tref=Tref, Qref=Qref, Uref=Uref,
                      delt=delt, delq=delq, shcoef=shcoef, lhcoef=lhcoef)

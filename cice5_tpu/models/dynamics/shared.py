@@ -38,25 +38,29 @@ class EVPParams:
     sinw: float = 0.0
 
     @classmethod
-    def classic(cls, dt: float, ndte: int, cosw=1.0, sinw=0.0) -> "EVPParams":
+    def classic(cls, dt: float, ndte: int, cosw=1.0, sinw=0.0,
+                e_ratio=2.0) -> "EVPParams":
         dte = dt / ndte
         tdamp2 = 2.0 * EYC * dt
         arlx1i = dte / tdamp2
         brlx = dt / dte
         return cls(ndte=ndte, arlx1i=arlx1i, brlx=brlx,
                    denom1=1.0 / (1.0 + arlx1i), revp=0.0,
-                   cosw=cosw, sinw=sinw)
+                   ecci=1.0 / e_ratio ** 2, cosw=cosw, sinw=sinw)
 
     @classmethod
-    def revised(cls, dt: float, ndte: int, xmin: float,
-                cosw=1.0, sinw=0.0) -> "EVPParams":
+    def revised(cls, dt: float, ndte: int, xmin,
+                cosw=1.0, sinw=0.0, e_ratio=2.0) -> "EVPParams":
+        """Bouillon et al 2013 revised EVP (ice_dyn_shared.F90:230-240):
+        alpha/beta relaxation replaces the elastic timescale; xmin is the
+        global ocean minimum of (dxt, dyt) (may be a traced scalar)."""
         Se, xi = 0.86, 5.5e-3
         gamma = 0.25 * 1.0e11 * dt
         arlx1i = 2.0 * xi / Se
         brlx = 2.0 * Se * xi * gamma / xmin ** 2
         return cls(ndte=ndte, arlx1i=arlx1i, brlx=brlx,
                    denom1=1.0 / (1.0 + arlx1i), revp=1.0,
-                   cosw=cosw, sinw=sinw)
+                   ecci=1.0 / e_ratio ** 2, cosw=cosw, sinw=sinw)
 
 
 def to_ugrid(T, grid, topo: Topology):

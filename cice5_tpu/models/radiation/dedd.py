@@ -169,7 +169,9 @@ def set_snow(aicen, vsnon, Tsfc, *, R_snw, rsnw_mlt, dT_mlt, hs0):
                    else jnp.ones_like(hs), 0.0)
     dTs = ct.Timelt - Tsfc
     fT = -jnp.minimum(dTs / dT_mlt - 1.0, 0.0)
-    rsnw_nm = np.clip(500.0 - R_snw * 250.0, 100.0, rsnw_mlt)
+    # Python float, NOT np scalar: an np.float64 would promote the f32 state
+    # under jax_enable_x64 (see CLAUDE.md numerical conventions)
+    rsnw_nm = float(np.clip(500.0 - R_snw * 250.0, 100.0, rsnw_mlt))
     rsnw = jnp.clip(rsnw_nm + (rsnw_mlt - rsnw_nm) * fT, 100.0, rsnw_mlt)
     return fs, hs, rsnw
 
@@ -587,14 +589,20 @@ class DEddResult(NamedTuple):
 def shortwave_dEdd(*, nilyr, nslyr, aicen, vicen, vsnon, Tsfcn, apnd, hpnd,
                    coszen, fnidr, swvdr, swvdf, swidr, swidf,
                    R_ice=0.0, R_pnd=0.0, R_snw=1.5, dT_mlt=1.5,
-                   rsnw_mlt=1500.0, kalg=0.6, hs0=0.03,
-                   pndaspect=0.8) -> DEddResult:
+                   rsnw_mlt=1500.0, kalg=0.6, hs0=0.03, hs1=0.03,
+                   pndaspect=0.8, pond_scheme="cesm") -> DEddResult:
     """Full delta-Eddington radiation for ONE category over batch *B
     (shortwave_dEdd :1607 + the pond/snow property setup of run_dEdd).
 
-    apnd: pond fraction of ice area; hpnd: pond depth. The CESM-style snow
-    infiltration (run_dEdd :1390-1410) reduces effective pond fraction under
-    snow.
+    apnd: pond fraction of ice area; hpnd: pond depth. Pond-scheme-specific
+    radiative pond setup (run_dEdd):
+    - "cesm"/default: CESM-style snow infiltration reduces the effective
+      pond fraction under snow (:1390-1410, hs0 taper).
+    - "lvl": snow-on-pond taper with hs1 and snow saturation of shallow
+      ponds (:1478-1510; the dhsn/ffracn memory of the reference is
+      approximated by the current snow depth).
+    - "topo": fraction/depth pass straight through (:1516-1537 — the lid
+      gating happens upstream in the driver).
     """
     mask = aicen > ct.puny
     netsw = swvdr + swvdf + swidr + swidf
@@ -608,11 +616,28 @@ def shortwave_dEdd(*, nilyr, nslyr, aicen, vicen, vsnon, Tsfcn, apnd, hpnd,
     # pond fraction/depth with snow infiltration (run_dEdd :1385-1412)
     fp = apnd
     hp = hpnd
-    asnow = jnp.minimum(hs / max(hs0, 1e-6), 1.0)
-    infl = (hs >= ct.hs_min)
-    fp = jnp.where(infl, (1.0 - asnow) * fp, fp)
-    hp = jnp.where(infl, pndaspect * fp, hp)
-    fp = jnp.where(hp < HPMIN, 0.0, fp)
+    if pond_scheme == "lvl":
+        # taper pond area with snow on pond ice (:1483-1487)
+        if hs1 > ct.puny:
+            asnow = jnp.minimum(hs / hs1, 1.0)
+            fp = jnp.where(hs >= ct.puny, (1.0 - asnow) * fp, fp)
+        # infiltrate snow / saturate shallow ponds (:1489-1507)
+        haspnd = hp > ct.puny
+        rp = ct.rhofresh * hp / jnp.maximum(
+            ct.rhofresh * hp + ct.rhos * hs, ct.puny)
+        hmx = hs * (ct.rhofresh - ct.rhos) / ct.rhofresh
+        deep = hp >= hmx                     # pond deeper than saturated snow
+        hp_sat = (ct.rhofresh * hp + ct.rhos * hs) / ct.rhofresh
+        drown = haspnd & (rp >= 0.15) & deep
+        fp = jnp.where(haspnd, jnp.where(drown, fp, 0.0), fp)
+        hp = jnp.where(haspnd, jnp.where(drown, hp_sat, 0.0), hp)
+        fp = jnp.where(hp < HPMIN, 0.0, fp)
+    elif pond_scheme != "topo":
+        asnow = jnp.minimum(hs / max(hs0, 1e-6), 1.0)
+        infl = (hs >= ct.hs_min)
+        fp = jnp.where(infl, (1.0 - asnow) * fp, fp)
+        hp = jnp.where(infl, pndaspect * fp, hp)
+        fp = jnp.where(hp < HPMIN, 0.0, fp)
     fp = jnp.minimum(fp, 1.0 - fs)
     fi = jnp.maximum(1.0 - fs - fp, 0.0)
 

@@ -463,11 +463,14 @@ class NewIce(NamedTuple):
     vicen: jnp.ndarray
     trcrn: jnp.ndarray
     frazil: jnp.ndarray
+    dfresh: jnp.ndarray   # frazil fresh-water flux to ocean (kg/m^2/s)
+    dfsalt: jnp.ndarray   # frazil salt flux to ocean (kg/m^2/s)
 
 
 def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
                 trcrn, aice, aice0, frzmlt, Tf, salinz,
-                tr_FY=False, tr_lvl=False, tr_iage=False) -> NewIce:
+                tr_FY=False, tr_lvl=False, tr_iage=False,
+                update_ocn_f=False, ktherm=1) -> NewIce:
     """Frazil formation: convert positive freezing potential into new ice
     in category 1 (or spread over categories when open water is scarce)."""
     ncat = aicen.shape[0]
@@ -480,6 +483,20 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
     fnew = jnp.maximum(frzmlt, 0.0)
     vi0new = -fnew * dt / qi0new
     frazil = vi0new
+
+    # frazil fresh/salt fluxes to the ocean (ice_therm_itd.F90:1524-1546):
+    # POP-style coupling excludes frzmlt>0 fluxes unless update_ocn_f
+    if update_ocn_f:
+        dfresh = -ct.rhoi * vi0new / dt
+        dfsalt = ct.ice_ref_salinity * 1e-3 * dfresh
+    elif ktherm == 2:
+        # return mushy-layer frazil-enthalpy difference to the ocean
+        vi0tmp = fnew * dt / (ct.rhoi * ct.Lfresh)
+        dfresh = -ct.rhoi * (vi0new - vi0tmp) / dt
+        dfsalt = ct.ice_ref_salinity * 1e-3 * dfresh
+    else:
+        dfresh = jnp.zeros_like(vi0new)
+        dfsalt = jnp.zeros_like(vi0new)
 
     grow = vi0new > 0.0
     open_w = aice0 > ct.puny
@@ -564,7 +581,8 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
         trcrn = trcrn.at[0, q0 + k].set(mixV(trcrn[0, q0 + k], qi0new))
         trcrn = trcrn.at[0, s0 + k].set(mixV(trcrn[0, s0 + k], salinz[k]))
 
-    return NewIce(aicen=aicen, vicen=vicen, trcrn=trcrn, frazil=frazil)
+    return NewIce(aicen=aicen, vicen=vicen, trcrn=trcrn, frazil=frazil,
+                  dfresh=dfresh, dfsalt=dfsalt)
 
 
 # ----------------------------------------------------------------------

@@ -32,13 +32,16 @@ QBOTMAX = -0.5 * ct.rhoi * ct.Lfresh
 
 
 def frzmlt_bottom_lateral(dt, aice, frzmlt, vicen, vsnon, qicen_tot, qsnon_tot,
-                          sst, Tf, strocnxT, strocnyT, ustar_min=0.0005):
+                          sst, Tf, strocnxT, strocnyT, ustar_min=0.0005,
+                          Cdn_ocn=None):
     """Ocean-ice bottom heat flux, bottom temperature, and lateral-melt
     fraction (ice_therm_vertical.F90:611-837).
 
     qicen_tot/qsnon_tot: per-category column energies sum_k q_k*v/nlyr
     summed over categories upstream, i.e. etot = sum_n of those (J/m^2).
-    Returns (Tbot, fbot, rside).
+    Cdn_ocn: form-drag ocean exchange coefficient replacing the 0.006
+    McPhee/Maykut constant when fbot_xfer_type='Cdn_ocn'
+    (ice_therm_vertical.F90:741-746). Returns (Tbot, fbot, rside).
     """
     Tbot = Tf
     melt = (aice > ct.puny) & (frzmlt < 0.0)
@@ -46,7 +49,8 @@ def frzmlt_bottom_lateral(dt, aice, frzmlt, vicen, vsnon, qicen_tot, qsnon_tot,
     deltaT = jnp.maximum(sst - Tbot, 0.0)
     ustar = jnp.sqrt(jnp.sqrt(strocnxT ** 2 + strocnyT ** 2) / ct.rhow)
     ustar = jnp.maximum(ustar, ustar_min)
-    cpchr = -ct.cp_ocn * ct.rhow * 0.006
+    chio = 0.006 if Cdn_ocn is None else Cdn_ocn
+    cpchr = -ct.cp_ocn * ct.rhow * chio
     fbot = cpchr * deltaT * ustar
     fbot = jnp.maximum(fbot, frzmlt)          # frzmlt < fbot < 0
 

@@ -630,11 +630,26 @@ def remap_fields(grid, topo: Topology, geom: RemapGeometry, *, mm, tm,
     return mm_new, jnp.stack(tms)
 
 
+class TransportChecks(NamedTuple):
+    """Runtime transport diagnostics (ice_transport_driver.F90:123-174
+    abort-on-violation checks, surfaced as diag values)."""
+    conserv_err: jnp.ndarray      # max relative global-sum drift
+    mono_violations: jnp.ndarray  # count of monotone-bound violations
+
+
 def transport_remap(dt, grid, topo: Topology, tr: TracerRegistry, *, uvel,
-                    vvel, aicen, vicen, vsnon, trcrn):
+                    vvel, aicen, vicen, vsnon, trcrn,
+                    conserv_check=False, monotonicity_check=False):
     """Full-state incremental remapping (transport_remap :198-630 +
     state_to_tracers/tracers_to_state): mass field = aicen per category;
     tracers = [hice, hsno, trcrn...] with the reference's dependency table.
+
+    conserv_check / monotonicity_check (l_conservation_check /
+    l_monotonicity_check, ice_transport_driver.F90:257-259): when either is
+    on, a TransportChecks diagnostic is returned as a fifth output —
+    the relative global area/volume conservation error
+    (global_conservation :1011) and the count of monotone-bound violations
+    (local_max_min/check_monotonicity :1084,1244).
     """
     ncat = aicen.shape[0]
     ntrcr = tr.ntrcr
@@ -677,6 +692,13 @@ def transport_remap(dt, grid, topo: Topology, tr: TracerRegistry, *, uvel,
                             tracer_type=tuple(tracer_type),
                             parent=tuple(parent))
 
+    if monotonicity_check:
+        def bounds_one(mmc, tmc):
+            aimask = (mmc > 0.0).astype(mmc.dtype)
+            return monotonicity_bounds(tmc, aimask, tuple(tracer_type),
+                                       tuple(parent), topo)
+        tmin, tmax = jax.vmap(bounds_one)(aicen, tm)
+
     mm_new, tm_new = jax.vmap(one_cat)(aicen, tm)
 
     aicen_n = mm_new
@@ -685,6 +707,27 @@ def transport_remap(dt, grid, topo: Topology, tr: TracerRegistry, *, uvel,
     trcrn_n = tm_new[:, 2:]
     vicen_n = aicen_n * hice_n
     vsnon_n = aicen_n * hsno_n
+
+    if conserv_check or monotonicity_check:
+        err = jnp.zeros((), aicen.dtype)
+        nbad = jnp.zeros((), jnp.int32)
+        if conserv_check:
+            for m0, m1 in ((aicen, aicen_n), (vicen, vicen_n),
+                           (vsnon, vsnon_n)):
+                s0 = global_conservation(jnp.sum(m0, 0), grid.tarea, topo)
+                s1 = global_conservation(jnp.sum(m1, 0), grid.tarea, topo)
+                err = jnp.maximum(
+                    err, jnp.abs(s1 - s0) / jnp.maximum(jnp.abs(s0), 1.0))
+        if monotonicity_check:
+            from cice5_tpu.parallel import global_sum
+
+            def viol_one(mmc, tmc, tminc, tmaxc):
+                return check_monotonicity(tminc, tmaxc, mmc, tmc,
+                                          tuple(tracer_type), tuple(parent))
+            bad = jax.vmap(viol_one)(mm_new, tm_new, tmin, tmax)
+            nbad = global_sum(bad.astype(jnp.int32), topo).astype(jnp.int32)
+        return aicen_n, vicen_n, vsnon_n, trcrn_n, TransportChecks(
+            conserv_err=err, mono_violations=nbad)
     return aicen_n, vicen_n, vsnon_n, trcrn_n
 
 
@@ -736,7 +779,11 @@ def check_monotonicity(tmin, tmax, mm_new, tm_new, tracer_type, parent):
         if tracer_type[nt] == 3:
             lc = lc & (jnp.abs(tm_new[parent[parent[nt]]]) > ct.puny)
         span = jnp.maximum(jnp.abs(tmin[nt]), jnp.abs(tmax[nt]))
-        tol = ct.puny * (1.0 + span)
+        # the reference's puny tolerance assumes r8; in f32 the remap
+        # arithmetic itself rounds at ~eps32, so the bound tolerance must
+        # sit above that noise floor (cf. CLAUDE.md f32 conventions)
+        eps_tol = max(ct.puny, 50.0 * float(jnp.finfo(tm_new.dtype).eps))
+        tol = eps_tol * (1.0 + span)
         bad = lc & ((tm_new[nt] < tmin[nt] - tol)
                     | (tm_new[nt] > tmax[nt] + tol))
         out.append(bad)

@@ -245,6 +245,16 @@ def shifted(F, di: int, dj: int):
     return F[..., j0:j1, i0:i1]
 
 
+def global_min(x, topo: Topology, axis_names: tuple[str, ...] | None = None):
+    """Global minimum of a shard-local array (the global_minval analog,
+    mpi/ice_global_reductions.F90:1453)."""
+    s = jnp.min(x)
+    names = axis_names or tuple(n for n in (topo.axis_y, topo.axis_x) if n)
+    if names:
+        s = lax.pmin(s, names)
+    return s
+
+
 def global_sum(x, topo: Topology, axis_names: tuple[str, ...] | None = None):
     """Deterministic global sum of a (...,) shard-local reduction.
 

@@ -133,9 +133,9 @@ class TestAerosolStep:
     def test_full_step_smoke(self):
         """One full model step with tr_aero: finite, non-negative tracers,
         deposition shows up in the ice pack."""
-        from cice5_tpu.config import gx3_config
+        from cice5_tpu.config import rect_config
         from cice5_tpu.driver.model import Model
-        cfg = gx3_config()
+        cfg = rect_config()
         cfg = cfg.replace(
             grid=dataclasses.replace(cfg.grid, ny=24, nx=32),
             tracers=dataclasses.replace(cfg.tracers, tr_aero=True, n_aero=3),

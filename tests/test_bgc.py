@@ -102,9 +102,9 @@ class TestHbrine:
 
 
 def _registry(**kw):
-    from cice5_tpu.config import gx3_config
+    from cice5_tpu.config import rect_config
     from cice5_tpu.state import build_tracer_registry
-    cfg = gx3_config()
+    cfg = rect_config()
     cfg = cfg.replace(tracers=dataclasses.replace(
         cfg.tracers, skl_bgc=True, tr_brine=True, **kw))
     return cfg, build_tracer_registry(cfg)
@@ -195,9 +195,9 @@ class TestSklBgc:
 
 class TestBgcStep:
     def test_full_step_smoke(self):
-        from cice5_tpu.config import gx3_config
+        from cice5_tpu.config import rect_config
         from cice5_tpu.driver.model import Model
-        cfg = gx3_config()
+        cfg = rect_config()
         cfg = cfg.replace(
             grid=dataclasses.replace(cfg.grid, ny=24, nx=32),
             thermo=dataclasses.replace(cfg.thermo, ktherm=2),

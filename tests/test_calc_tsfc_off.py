@@ -79,9 +79,9 @@ class TestKnowTsfc:
 
 class TestStepCalcTsfcOff:
     def test_full_step_with_coupler_fluxes(self):
-        from cice5_tpu.config import gx3_config
+        from cice5_tpu.config import rect_config
         from cice5_tpu.driver.model import Model
-        cfg = gx3_config()
+        cfg = rect_config()
         cfg = cfg.replace(
             grid=dataclasses.replace(cfg.grid, ny=16, nx=20),
             thermo=dataclasses.replace(cfg.thermo, calc_Tsfc=False),

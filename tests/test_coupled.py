@@ -6,13 +6,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from cice5_tpu import constants as ct
-from cice5_tpu.config import gx3_config
+from cice5_tpu.config import rect_config
 from cice5_tpu.driver.coupled import CoupledModel, scale_fluxes
 from cice5_tpu.driver.model import Model
 
 
 def _model(ny=12, nx=16):
-    cfg = gx3_config()
+    cfg = rect_config()
     cfg = cfg.replace(grid=dataclasses.replace(cfg.grid, ny=ny, nx=nx),
                       dyn=dataclasses.replace(cfg.dyn, ndte=10))
     m = Model(cfg)

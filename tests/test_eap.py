@@ -221,9 +221,9 @@ class TestEAPDriver:
 class TestEAPStep:
     def test_full_step_smoke(self):
         import dataclasses
-        from cice5_tpu.config import gx3_config
+        from cice5_tpu.config import rect_config
         from cice5_tpu.driver.model import Model
-        cfg = gx3_config()
+        cfg = rect_config()
         cfg = cfg.replace(
             grid=dataclasses.replace(cfg.grid, ny=24, nx=32),
             dyn=dataclasses.replace(cfg.dyn, kdyn=2, ndte=20))

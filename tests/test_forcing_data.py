@@ -102,9 +102,9 @@ class TestMonthlyForcing:
 
     def test_seasonal_cycle(self):
         ds = self._dataset()
-        from cice5_tpu.config import gx3_config
+        from cice5_tpu.config import rect_config
         from cice5_tpu.grid import make_grid
-        cfg = gx3_config()
+        cfg = rect_config()
         cfg = cfg.replace(grid=dataclasses.replace(cfg.grid, ny=12, nx=16))
         g = make_grid(cfg)
         f_jan = ds.forcing_at(15.0, g)
@@ -131,9 +131,9 @@ class TestMonthlyForcing:
         np.testing.assert_allclose(raw["Tair"], 260.0, rtol=1e-6)
 
     def test_model_step_with_data_forcing(self):
-        from cice5_tpu.config import gx3_config
+        from cice5_tpu.config import rect_config
         from cice5_tpu.driver.model import Model
-        cfg = gx3_config()
+        cfg = rect_config()
         cfg = cfg.replace(
             grid=dataclasses.replace(cfg.grid, ny=12, nx=16),
             dyn=dataclasses.replace(cfg.dyn, ndte=10))
@@ -166,10 +166,10 @@ class TestRecordForcing:
 
     def test_builds_full_forcing(self):
         import dataclasses
-        from cice5_tpu.config import gx3_config
+        from cice5_tpu.config import rect_config
         from cice5_tpu.forcing_data import RecordForcing
         from cice5_tpu.grid import make_grid
-        cfg = gx3_config()
+        cfg = rect_config()
         cfg = cfg.replace(grid=dataclasses.replace(cfg.grid, ny=6, nx=8))
         g = make_grid(cfg)
         nrec = 4

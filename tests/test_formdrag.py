@@ -76,9 +76,9 @@ class TestFormDrag:
 
 class TestFormDragStep:
     def test_full_step_smoke(self):
-        from cice5_tpu.config import gx3_config
+        from cice5_tpu.config import rect_config
         from cice5_tpu.driver.model import Model
-        cfg = gx3_config()
+        cfg = rect_config()
         cfg = cfg.replace(
             grid=dataclasses.replace(cfg.grid, ny=24, nx=32),
             tracers=dataclasses.replace(cfg.tracers, tr_lvl=True,

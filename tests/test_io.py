@@ -158,10 +158,10 @@ class TestMultiStreamHistory:
         class Info:
             year, month, mday, sec, time, elapsed_days = 1, 1, 2, 0, 86400.0, 1
         import cice5_tpu.io.history as hmod
-        from cice5_tpu.config import gx3_config
+        from cice5_tpu.config import rect_config
         import dataclasses
         from cice5_tpu.grid import make_grid
-        cfg = gx3_config()
+        cfg = rect_config()
         cfg = cfg.replace(grid=dataclasses.replace(cfg.grid, ny=ny, nx=nx))
         g = make_grid(cfg)
         paths = hs.write_ready(g, Info, str(tmp_path))
@@ -203,7 +203,7 @@ class TestPopGridNc:
         import dataclasses
         import numpy as np
         from scipy.io import netcdf_file
-        from cice5_tpu.config import gx3_config
+        from cice5_tpu.config import rect_config
         from cice5_tpu.grid import popgrid_np
         from cice5_tpu.io.readers import read_pop_grid_nc
 
@@ -227,7 +227,7 @@ class TestPopGridNc:
                 v[:] = data
         g = read_pop_grid_nc(path)
         assert g["HTN"][0, 0] == 3.0e4     # cm -> m
-        cfg = gx3_config()
+        cfg = rect_config()
         cfg = cfg.replace(grid=dataclasses.replace(
             cfg.grid, ny=ny, nx=nx, grid_type="displaced_pole"))
         G = popgrid_np(cfg, g["ULAT"], g["ULON"], g["HTN"], g["HTE"],

@@ -7,13 +7,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from cice5_tpu import constants as ct
-from cice5_tpu.config import gx3_config
+from cice5_tpu.config import rect_config
 from cice5_tpu.driver.model import Model
 from cice5_tpu.models.prescribed import prescribe_ice
 
 
 def _model():
-    cfg = gx3_config()
+    cfg = rect_config()
     cfg = cfg.replace(grid=dataclasses.replace(cfg.grid, ny=16, nx=20),
                       dyn=dataclasses.replace(cfg.dyn, kdyn=0,
                                               advection="none"))

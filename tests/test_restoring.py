@@ -8,7 +8,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from cice5_tpu.config import gx3_config
+from cice5_tpu.config import rect_config
 from cice5_tpu.driver.model import Model
 from cice5_tpu.models.restoring import edge_mask, restore_ice
 from cice5_tpu.parallel import Topology, make_mesh, mesh_topology
@@ -48,7 +48,7 @@ class TestEdgeMask:
 
 class TestRestore:
     def _setup(self):
-        cfg = gx3_config()
+        cfg = rect_config()
         cfg = cfg.replace(
             grid=dataclasses.replace(cfg.grid, ny=12, nx=16,
                                      ew_boundary="open"))
@@ -83,7 +83,7 @@ class TestRestore:
                                    np.asarray(st.aicen[:, 0, :]), rtol=1e-6)
 
     def test_run_loop_restores(self):
-        cfg = gx3_config()
+        cfg = rect_config()
         cfg = cfg.replace(
             grid=dataclasses.replace(cfg.grid, ny=12, nx=16,
                                      ew_boundary="open"),

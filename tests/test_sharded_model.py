@@ -7,13 +7,13 @@ import jax
 import numpy as np
 import pytest
 
-from cice5_tpu.config import gx3_config
+from cice5_tpu.config import rect_config
 from cice5_tpu.driver.model import Model
 from cice5_tpu.driver.sharded import ShardedModel
 
 
 def _cfg(ny=16, nx=32):
-    cfg = gx3_config()
+    cfg = rect_config()
     return cfg.replace(grid=dataclasses.replace(cfg.grid, ny=ny, nx=nx),
                        dyn=dataclasses.replace(cfg.dyn, ndte=15))
 

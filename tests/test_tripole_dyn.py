@@ -129,9 +129,9 @@ class TestTripoleTransport:
 class TestTripoleModel:
     def test_full_step_smoke(self):
         """Full model step on a tripole-topology domain."""
-        from cice5_tpu.config import gx3_config
+        from cice5_tpu.config import rect_config
         from cice5_tpu.driver.model import Model
-        cfg = gx3_config()
+        cfg = rect_config()
         cfg = cfg.replace(
             grid=dataclasses.replace(cfg.grid, ny=16, nx=24,
                                      ns_boundary="tripole"),
