@@ -295,11 +295,23 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     aicen = tres.aicen
     vicen = tres.vicen
     vsnon = tres.vsnon
-    trcrn = trcrn.at[:, tr.nt_Tsfc].set(tres.Tsf)
-    trcrn = trcrn.at[:, tr.nt_qice:tr.nt_qice + nilyr].set(tres.zqin)
-    trcrn = trcrn.at[:, tr.nt_qsno:tr.nt_qsno + nslyr].set(tres.zqsn)
-    if cfg.thermo.ktherm == 2:
-        trcrn = trcrn.at[:, tr.nt_sice:tr.nt_sice + nilyr].set(tres.zSin)
+    # single contiguous tracer-block write when the registry is laid out
+    # [Tsfc | qice | sice | qsno] (it is, by construction): four separate
+    # .at[].set dynamic-update-slices each copy the full ~56 MB trcrn
+    # array at gx1 size — one block set is one copy
+    if (tr.nt_qice == tr.nt_Tsfc + 1
+            and tr.nt_sice == tr.nt_qice + nilyr
+            and tr.nt_qsno == tr.nt_sice + nilyr):
+        zS_new = tres.zSin if cfg.thermo.ktherm == 2 else zSin
+        blk = jnp.concatenate([tres.Tsf[:, None], tres.zqin, zS_new,
+                               tres.zqsn], axis=1)
+        trcrn = trcrn.at[:, tr.nt_Tsfc:tr.nt_qsno + nslyr].set(blk)
+    else:
+        trcrn = trcrn.at[:, tr.nt_Tsfc].set(tres.Tsf)
+        trcrn = trcrn.at[:, tr.nt_qice:tr.nt_qice + nilyr].set(tres.zqin)
+        trcrn = trcrn.at[:, tr.nt_qsno:tr.nt_qsno + nslyr].set(tres.zqsn)
+        if cfg.thermo.ktherm == 2:
+            trcrn = trcrn.at[:, tr.nt_sice:tr.nt_sice + nilyr].set(tres.zSin)
 
     # ---------------- optional tracers (step_therm1 tail) ----------------
     tcfg = cfg.tracers

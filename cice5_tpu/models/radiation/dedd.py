@@ -191,6 +191,138 @@ def _dedd_solution(tau, w0, g, coszen, srftyp: int, nslyr: int,
     return tuple(a[:, 0] for a in out)
 
 
+class LayerProps(NamedTuple):
+    """Per-layer direct/diffuse reflection-transmission properties
+    (the per-layer block of solution_dEdd :3340-3560)."""
+    rdir: jnp.ndarray
+    tdir: jnp.ndarray
+    rdif_a: jnp.ndarray
+    rdif_b: jnp.ndarray
+    tdif_a: jnp.ndarray
+    tdif_b: jnp.ndarray
+    trnlay: jnp.ndarray
+
+
+def _alpha(w, uu, gg, e):
+    return 0.75 * w * uu * ((1.0 + gg * (1.0 - w))
+                            / (1.0 - e * e * uu * uu))
+
+
+def _agamm(w, uu, gg, e):
+    return 0.5 * w * ((1.0 + 3.0 * gg * (1.0 - w) * uu * uu)
+                      / (1.0 - e * e * uu * uu))
+
+
+def _layer_props(tau_k, w0_k, g_k, mu0n) -> LayerProps:
+    """Delta-scaled single-layer R/T incl. 8-point Gaussian re-integration
+    of the diffuse properties (solution_dEdd :3430-3560). This carries the
+    exp/Gauss cost — callers deduplicate identical layers before calling."""
+    ftot = g_k * g_k
+    ts = (1.0 - w0_k * ftot) * tau_k
+    ws = (1.0 - ftot) * w0_k / jnp.maximum(1.0 - w0_k * ftot, ct.puny)
+    gs = (g_k - ftot) / jnp.maximum(1.0 - ftot, ct.puny)
+    ws = jnp.minimum(ws, 1.0 - ct.puny)    # guard el at w=1
+    lm = jnp.sqrt(3.0 * (1.0 - ws) * (1.0 - ws * gs))
+    ue = 1.5 * (1.0 - ws * gs) / jnp.maximum(lm, ct.puny)
+    # guard resonance 1 - lm^2 mu^2 = 0
+    safe_mu = lambda m: jnp.where(jnp.abs(1.0 - lm * lm * m * m) < 1e-6,
+                                  m * (1.0 + 1e-3), m)
+    mu0n_s = safe_mu(mu0n)
+    extins = jnp.maximum(EXP_MIN, jnp.exp(-lm * ts))
+    ne = ((ue + 1.0) ** 2 / extins) - ((ue - 1.0) ** 2 * extins)
+    rdif_a = (ue ** 2 - 1.0) * (1.0 / extins - extins) / ne
+    tdif_a = 4.0 * ue / ne
+    trnlay = jnp.maximum(EXP_MIN, jnp.exp(-ts / mu0n_s))
+    alp = _alpha(ws, mu0n_s, gs, lm)
+    gam = _agamm(ws, mu0n_s, gs, lm)
+    apg, amg = alp + gam, alp - gam
+    rdir = apg * rdif_a + amg * (tdif_a * trnlay - 1.0)
+    tdir = apg * tdif_a + (amg * rdif_a - apg + 1.0) * trnlay
+
+    # gaussian re-integration of diffuse R/T (:3530-3560)
+    R1, T1 = rdif_a, tdif_a
+    swt = smr = smt = 0.0
+    for mu_g, gwt in zip(GAUSPT, GAUSWT):
+        mu_s = safe_mu(jnp.asarray(mu_g, ts.dtype))
+        trn = jnp.maximum(EXP_MIN, jnp.exp(-ts / mu_s))
+        alp = _alpha(ws, mu_s, gs, lm)
+        gam = _agamm(ws, mu_s, gs, lm)
+        apg, amg = alp + gam, alp - gam
+        rdr = apg * R1 + amg * T1 * trn - amg
+        tdr = apg * T1 + amg * R1 * trn - apg * trn + trn
+        swt = swt + mu_g * gwt
+        smr = smr + mu_g * gwt * rdr
+        smt = smt + mu_g * gwt * tdr
+    rdif_a = smr / swt
+    tdif_a = smt / swt
+    return LayerProps(rdir=rdir, tdir=tdir, rdif_a=rdif_a, rdif_b=rdif_a,
+                      tdif_a=tdif_a, tdif_b=tdif_a, trnlay=trnlay)
+
+
+def _fresnel(p: LayerProps, mu0, mu0n_below) -> LayerProps:
+    """Combine the Fresnel refraction interface onto the top of a layer
+    (solution_dEdd :3565-3620)."""
+    R1f = (mu0 - REFINDX * mu0n_below) / (mu0 + REFINDX * mu0n_below)
+    R2f = (REFINDX * mu0 - mu0n_below) / (REFINDX * mu0 + mu0n_below)
+    T1f = 2.0 * mu0 / (mu0 + REFINDX * mu0n_below)
+    T2f = 2.0 * mu0 / (REFINDX * mu0 + mu0n_below)
+    Rf_dir = 0.5 * (R1f * R1f + R2f * R2f)
+    Tf_dir = 0.5 * (T1f * T1f + T2f * T2f) * REFINDX * mu0n_below / mu0
+    Rf_dif_a, Tf_dif_a = CP063, 1.0 - CP063
+    Rf_dif_b, Tf_dif_b = CP455, 1.0 - CP455
+    rintfc = 1.0 / (1.0 - Rf_dif_b * p.rdif_a)
+    return LayerProps(
+        tdir=Tf_dir * p.tdir
+        + Tf_dir * p.rdir * Rf_dif_b * rintfc * p.tdif_a,
+        rdir=Rf_dir + Tf_dir * p.rdir * rintfc * Tf_dif_b,
+        rdif_a=Rf_dif_a + Tf_dif_a * p.rdif_a * rintfc * Tf_dif_b,
+        rdif_b=p.rdif_b + p.tdif_b * Rf_dif_b * rintfc * p.tdif_a,
+        tdif_a=p.tdif_a * rintfc * Tf_dif_a,
+        tdif_b=p.tdif_b * rintfc * Tf_dif_b,
+        trnlay=Tf_dir * p.trnlay)
+
+
+def _adding(props, albodr, albodf, shape_ref):
+    """Downward/upward adding combination over the layer stack
+    (solution_dEdd :3640-3680) with the TRMIN dark gate.
+
+    props: list of klev+1 LayerProps (entries may be SHARED between k —
+    deduplicated layers); shape_ref: a (C, *B) array fixing the case/batch
+    shape. Returns 6 lists of length klev+2: (trndir, trntdr, trndif,
+    rupdir, rupdif, rdndif)."""
+    klev = len(props) - 1
+    one = jnp.ones_like(shape_ref)
+    zero = jnp.zeros_like(shape_ref)
+    trndir, trntdr, trndif, rdndif = [one], [one], [one], [zero]
+    masked = []
+    for k, p in enumerate(props):
+        lit = trntdr[k] > TRMIN
+        z = lambda x: jnp.where(lit, x, 0.0)
+        p = LayerProps(*[z(x) for x in p])
+        masked.append(p)
+        trndir.append(trndir[k] * p.trnlay)
+        refkm1 = 1.0 / (1.0 - rdndif[k] * p.rdif_a)
+        tdrrdir = trndir[k] * p.rdir
+        tdndif = trntdr[k] - trndir[k]
+        trntdr.append(trndir[k] * p.tdir
+                      + (tdndif + tdrrdir * rdndif[k]) * refkm1 * p.tdif_a)
+        rdndif.append(p.rdif_b + p.tdif_b * rdndif[k] * refkm1 * p.tdif_a)
+        trndif.append(trndif[k] * refkm1 * p.tdif_a)
+
+    rupdir = [None] * (klev + 2)
+    rupdif = [None] * (klev + 2)
+    rupdir[klev + 1] = albodr * one
+    rupdif[klev + 1] = albodf * one
+    for k in range(klev, -1, -1):
+        p = masked[k]
+        refkp1 = 1.0 / (1.0 - p.rdif_b * rupdif[k + 1])
+        rupdir[k] = p.rdir + (p.trnlay * rupdir[k + 1]
+                              + (p.tdir - p.trnlay) * rupdif[k + 1]) \
+            * refkp1 * p.tdif_b
+        rupdif[k] = p.rdif_a + p.tdif_a * rupdif[k + 1] * refkp1 * p.tdif_b
+    return trndir, trntdr, trndif, rupdir, rupdif, rdndif
+
+
 def _dedd_solution_cases(tau, w0, g, coszen, *, kfrsnl_cases,
                          albodr_cases, albodf_cases):
     """Case-batched adding method (solution_dEdd :3270-3580).
@@ -200,6 +332,8 @@ def _dedd_solution_cases(tau, w0, g, coszen, *, kfrsnl_cases,
     leading case axis C batches all solutions through ONE op sequence;
     per-case statics (Fresnel layer index, ocean albedo) become constant
     masks. tau/w0/g: (klev+1, C, *B). Returns 6 arrays (klev+2, C, *B).
+
+    (Generic path; shortwave_dEdd uses the deduplicated-layer fast path.)
     """
     klev = tau.shape[0] - 1
     C = tau.shape[1]
@@ -212,128 +346,17 @@ def _dedd_solution_cases(tau, w0, g, coszen, *, kfrsnl_cases,
     albodr = jnp.asarray(albodr_cases, tau.dtype).reshape(cshape)
     albodf = jnp.asarray(albodf_cases, tau.dtype).reshape(cshape)
 
-    one = jnp.ones_like(mu0)
-    zero = jnp.zeros_like(mu0)
-    trndir = [one]
-    trntdr = [one]
-    trndif = [one]
-    rdndif = [zero]
-    rdirs, tdirs, rdifa, rdifb, tdifa, tdifb, trnlays = \
-        [], [], [], [], [], [], []
-
-    def alpha(w, uu, gg, e):
-        return 0.75 * w * uu * ((1.0 + gg * (1.0 - w))
-                                / (1.0 - e * e * uu * uu))
-
-    def agamm(w, uu, gg, e):
-        return 0.5 * w * ((1.0 + 3.0 * gg * (1.0 - w) * uu * uu)
-                          / (1.0 - e * e * uu * uu))
-
+    props = []
     for k in range(klev + 1):
-        ftot = g[k] * g[k]
-        ts = (1.0 - w0[k] * ftot) * tau[k]
-        ws = (1.0 - ftot) * w0[k] / jnp.maximum(1.0 - w0[k] * ftot, ct.puny)
-        gs = (g[k] - ftot) / jnp.maximum(1.0 - ftot, ct.puny)
-        ws = jnp.minimum(ws, 1.0 - ct.puny)    # guard el at w=1
-        lm = jnp.sqrt(3.0 * (1.0 - ws) * (1.0 - ws * gs))
-        ue = 1.5 * (1.0 - ws * gs) / jnp.maximum(lm, ct.puny)
         mu0n = jnp.where(k >= kf, mu0n_below, mu0)
-        # guard resonance 1 - lm^2 mu^2 = 0
-        safe_mu = lambda m: jnp.where(jnp.abs(1.0 - lm * lm * m * m) < 1e-6,
-                                      m * (1.0 + 1e-3), m)
-        mu0n_s = safe_mu(mu0n)
-        extins = jnp.maximum(EXP_MIN, jnp.exp(-lm * ts))
-        ne = ((ue + 1.0) ** 2 / extins) - ((ue - 1.0) ** 2 * extins)
-        rdif_a = (ue ** 2 - 1.0) * (1.0 / extins - extins) / ne
-        tdif_a = 4.0 * ue / ne
-        trnlay = jnp.maximum(EXP_MIN, jnp.exp(-ts / mu0n_s))
-        alp = alpha(ws, mu0n_s, gs, lm)
-        gam = agamm(ws, mu0n_s, gs, lm)
-        apg, amg = alp + gam, alp - gam
-        rdir = apg * rdif_a + amg * (tdif_a * trnlay - 1.0)
-        tdir = apg * tdif_a + (amg * rdif_a - apg + 1.0) * trnlay
+        p = _layer_props(tau[k], w0[k], g[k], mu0n)
+        pf = _fresnel(p, mu0, mu0n_below)
+        is_f = (k == kf)
+        props.append(LayerProps(*[jnp.where(is_f, a, b)
+                                  for a, b in zip(pf, p)]))
 
-        # gaussian re-integration of diffuse R/T (:3530-3560)
-        R1, T1 = rdif_a, tdif_a
-        swt = smr = smt = 0.0
-        for mu_g, gwt in zip(GAUSPT, GAUSWT):
-            mu_s = safe_mu(jnp.asarray(mu_g, tau.dtype))
-            trn = jnp.maximum(EXP_MIN, jnp.exp(-ts / mu_s))
-            alp = alpha(ws, mu_s, gs, lm)
-            gam = agamm(ws, mu_s, gs, lm)
-            apg, amg = alp + gam, alp - gam
-            rdr = apg * R1 + amg * T1 * trn - amg
-            tdr = apg * T1 + amg * R1 * trn - apg * trn + trn
-            swt = swt + mu_g * gwt
-            smr = smr + mu_g * gwt * rdr
-            smt = smt + mu_g * gwt * tdr
-        rdif_a = smr / swt
-        tdif_a = smt / swt
-        rdif_b = rdif_a
-        tdif_b = tdif_a
-
-        is_f = (k == kf)      # Fresnel layer for this case? (C,1..1) mask
-        if True:
-            # Fresnel refraction layer on top (:3565-3620), masked per case
-            R1f = (mu0 - REFINDX * mu0n_below) / (mu0 + REFINDX * mu0n_below)
-            R2f = (REFINDX * mu0 - mu0n_below) / (REFINDX * mu0 + mu0n_below)
-            T1f = 2.0 * mu0 / (mu0 + REFINDX * mu0n_below)
-            T2f = 2.0 * mu0 / (REFINDX * mu0 + mu0n_below)
-            Rf_dir = 0.5 * (R1f * R1f + R2f * R2f)
-            Tf_dir = 0.5 * (T1f * T1f + T2f * T2f) * REFINDX * mu0n_below / mu0
-            Rf_dif_a, Tf_dif_a = CP063, 1.0 - CP063
-            Rf_dif_b, Tf_dif_b = CP455, 1.0 - CP455
-            rintfc = 1.0 / (1.0 - Rf_dif_b * rdif_a)
-            w = lambda new, old: jnp.where(is_f, new, old)
-            tdir = w(Tf_dir * tdir
-                     + Tf_dir * rdir * Rf_dif_b * rintfc * tdif_a, tdir)
-            rdir = w(Rf_dir + Tf_dir * rdir * rintfc * Tf_dif_b, rdir)
-            rdif_a_new = Rf_dif_a + Tf_dif_a * rdif_a * rintfc * Tf_dif_b
-            rdif_b = w(rdif_b + tdif_b * Rf_dif_b * rintfc * tdif_a, rdif_b)
-            tdif_a_new = tdif_a * rintfc * Tf_dif_a
-            tdif_b = w(tdif_b * rintfc * Tf_dif_b, tdif_b)
-            rdif_a = w(rdif_a_new, rdif_a)
-            tdif_a = w(tdif_a_new, tdif_a)
-            trnlay = w(Tf_dir * trnlay, trnlay)
-
-        # zero layer properties where no radiation penetrates (trmin gate)
-        lit = trntdr[k] > TRMIN
-        z = lambda x: jnp.where(lit, x, 0.0)
-        rdir, tdir = z(rdir), z(tdir)
-        rdif_a, rdif_b = z(rdif_a), z(rdif_b)
-        tdif_a, tdif_b = z(tdif_a), z(tdif_b)
-        trnlay = z(trnlay)
-
-        rdirs.append(rdir); tdirs.append(tdir)
-        rdifa.append(rdif_a); rdifb.append(rdif_b)
-        tdifa.append(tdif_a); tdifb.append(tdif_b)
-        trnlays.append(trnlay)
-
-        # downward combination (:3640-3655)
-        trndir.append(trndir[k] * trnlay)
-        refkm1 = 1.0 / (1.0 - rdndif[k] * rdif_a)
-        tdrrdir = trndir[k] * rdir
-        tdndif = trntdr[k] - trndir[k]
-        trntdr.append(trndir[k] * tdir
-                      + (tdndif + tdrrdir * rdndif[k]) * refkm1 * tdif_a)
-        rdndif.append(rdif_b + tdif_b * rdndif[k] * refkm1 * tdif_a)
-        trndif.append(trndif[k] * refkm1 * tdif_a)
-
-    # upward combination from the ocean (:3660-3680)
-    rupdir = [None] * (klev + 2)
-    rupdif = [None] * (klev + 2)
-    rupdir[klev + 1] = albodr * one
-    rupdif[klev + 1] = albodf * one
-    for k in range(klev, -1, -1):
-        refkp1 = 1.0 / (1.0 - rdifb[k] * rupdif[k + 1])
-        rupdir[k] = rdirs[k] + (trnlays[k] * rupdir[k + 1]
-                                + (tdirs[k] - trnlays[k]) * rupdif[k + 1]) \
-            * refkp1 * tdifb[k]
-        rupdif[k] = rdifa[k] + tdifa[k] * rupdif[k + 1] * refkp1 * tdifb[k]
-
-    stack = lambda lst: jnp.stack(lst)
-    return (stack(trndir), stack(trntdr), stack(trndif),
-            stack(rupdir), stack(rupdif), stack(rdndif))
+    out = _adding(props, albodr, albodf, mu0)
+    return tuple(jnp.stack(lst) for lst in out)
 
 
 class DEddFluxes(NamedTuple):
@@ -492,6 +515,82 @@ def _net_fluxes(trndirA, trntdrA, trndifA, rupdirA, rupdifA, rdndifA):
     return dfdirA, dfdifA
 
 
+def _net_k(sol, k):
+    """Net downward direct/diffuse flux factors at interface k
+    (the per-k kernel of :2880-2910), computed lazily from the adding
+    lists — avoids materializing (klev+2, C, *B) stacks in HBM."""
+    trndir, trntdr, trndif, rupdir, rupdif, rdndif = sol
+    refk = 1.0 / (1.0 - rdndif[k] * rupdif[k])
+    dfdir = trndir[k] + (trntdr[k] - trndir[k]) * (1.0 - rupdif[k]) * refk \
+        - trndir[k] * rupdir[k] * (1.0 - rdndif[k]) * refk
+    dfdir = jnp.where(dfdir < ct.puny, 0.0, dfdir)
+    dfdif = trndif[k] * (1.0 - rupdif[k]) * refk
+    dfdif = jnp.where(dfdif < ct.puny, 0.0, dfdif)
+    return dfdir, dfdif
+
+
+def _partition_sol(*, nilyr, nslyr, srftyp, fnidr, swvdr, swvdf, swidr,
+                   swidf, sol, B, dtype) -> DEddFluxes:
+    """Flux partition reading the adding-solution LISTS lazily (same math
+    as _partition; sol entries are (NSPINT, *B))."""
+    klev = nslyr + nilyr + 1
+    ksrf = 1 if srftyp == 1 else nslyr + 2
+    wghtns2 = 0.67 + (0.78 - 0.67) * (1.0 - fnidr)
+    wghtns3 = 1.0 - wghtns2
+    rupdirL, rupdifL = sol[3], sol[4]
+
+    netc = {}
+
+    def dfs(k):
+        if k not in netc:
+            netc[k] = _net_k(sol, k)
+        return netc[k]
+
+    avdr = avdf = aidr = aidf = jnp.zeros(B, dtype)
+    fsfc = fint = fthru = jnp.zeros(B, dtype)
+    Sabs = jnp.zeros((nslyr,) + B, dtype)
+    Iabs = jnp.zeros((nilyr,) + B, dtype)
+    fthrul = jnp.zeros((nilyr + 1,) + B, dtype)
+
+    for ns in range(NSPINT):
+        if ns == 0:
+            swdr, swdf, wght = swvdr, swvdf, 1.0
+            avdr = rupdirL[0][ns]
+            avdf = rupdifL[0][ns]
+        else:
+            swdr, swdf = swidr, swidf
+            wght = wghtns2 if ns == 1 else wghtns3
+            aidr = aidr + rupdirL[0][ns] * wght
+            aidf = aidf + rupdifL[0][ns] * wght
+
+        def net(k):
+            dfdir, dfdif = dfs(k)
+            return dfdir[ns] * swdr + dfdif[ns] * swdf
+
+        tmp0 = net(0) * wght
+        tmpks = net(ksrf) * wght
+        tmpkl = net(klev + 1) * wght
+        fsfc = fsfc + tmp0 - tmpks
+        fint = fint + tmpks - tmpkl
+        fthru = fthru + tmpkl
+
+        if srftyp == 1:
+            for k in range(1, nslyr + 1):
+                Sabs = Sabs.at[k - 1].add((net(k) - net(k + 1)) * wght)
+        for k in range(nslyr + 2, nslyr + 2 + nilyr):
+            km, kp = k, k + 1
+            if srftyp == 1 and k == nslyr + 2:
+                km, kp = k - 1, k + 1
+            Iabs = Iabs.at[k - nslyr - 2].add((net(km) - net(kp)) * wght)
+        if ns == 0:
+            for k in range(nslyr + 2, klev + 2):
+                fthrul = fthrul.at[k - nslyr - 2].set(net(k))
+
+    return DEddFluxes(avdr=avdr, avdf=avdf, aidr=aidr, aidf=aidf,
+                      fsfc=fsfc, fint=fint, fthru=fthru, Sabs=Sabs,
+                      Iabs=Iabs, fthrul=fthrul)
+
+
 def _partition(*, nilyr, nslyr, srftyp, fnidr, swvdr, swvdf, swidr, swidf,
                dfdirA, dfdifA, rupdirA, rupdifA, B, dtype) -> DEddFluxes:
     """Per-band flux partition into surface/internal/penetrating
@@ -641,41 +740,87 @@ def shortwave_dEdd(*, nilyr, nslyr, aicen, vicen, vsnon, Tsfcn, apnd, hpnd,
     fp = jnp.minimum(fp, 1.0 - fs)
     fi = jnp.maximum(1.0 - fs - fp, 0.0)
 
-    # one solve for all (surface type x band) = 9 cases: build each
-    # surface's 3-band optics, concatenate on the case axis, run the
-    # case-batched adding method once, then partition per surface type
+    # Deduplicated-layer fast path. The naive formulation solves 9 cases
+    # (3 surface types x 3 bands) x (klev+1) layers; most layer properties
+    # repeat: bare/snow share ALL ice layers (same IOPs, same Fresnel level
+    # kf = nslyr+2), interior ice layers are identical to each other, the
+    # pond's sub-ice layers are all identical, and the bare surface's top
+    # layers are exactly transparent. Computing each distinct layer ONCE
+    # cuts the exp/Gauss property work ~3x; the cheap adding recursion then
+    # runs per family over the 3-band case axis with shared LayerProps
+    # references (no (9, *B) assembly copies).
     B = cz.shape
     dtype = cz.dtype
+    klev = nslyr + nilyr + 1
+    kii = nslyr + 1
     build_common = dict(nilyr=nilyr, nslyr=nslyr, fnidr=fnidr,
                         hi=jnp.maximum(hi, ct.puny), hp=hp, rsnw=rsnw,
                         R_ice=R_ice, R_pnd=R_pnd, kalg=kalg,
                         B=B, dtype=dtype)
     hs_cases = (jnp.zeros_like(hs), jnp.maximum(hs, ct.hs_min),
                 jnp.zeros_like(hs))
-    taus, w0s_, gs_ = zip(*[
-        _build_bands(srftyp=srf, hs=hs_cases[srf], **build_common)
-        for srf in range(3)])
-    tau9 = jnp.concatenate(taus, axis=1)
-    w09 = jnp.concatenate(w0s_, axis=1)
-    g9 = jnp.concatenate(gs_, axis=1)
-    kf = nslyr + 2
-    sol = _dedd_solution_cases(
-        tau9, w09, g9, cz,
-        kfrsnl_cases=(kf, kf, kf, kf, kf, kf, 0, 0, 0),
-        albodr_cases=(0.01, 0.0, 0.0) * 3,
-        albodf_cases=(0.01, 0.0, 0.0) * 3)
-    dfdirA, dfdifA = _net_fluxes(*sol)
+    tau0, w00, g0 = _build_bands(srftyp=0, hs=hs_cases[0], **build_common)
+    tau1, w01, g1 = _build_bands(srftyp=1, hs=hs_cases[1], **build_common)
+    tau2, w02, g2 = _build_bands(srftyp=2, hs=hs_cases[2], **build_common)
+
+    mu0 = jnp.maximum(cz, 0.01)
+    mu0n_below = jnp.sqrt(1.0 - (1.0 - mu0 ** 2) / (REFINDX * REFINDX))
+
+    # ice layers shared by bare/snow (above-Fresnel SSL, Fresnel DL,
+    # identical interiors, algae bottom; cf. _build_bands srftyp<=1)
+    pIceSSL = _layer_props(tau0[kii], w00[kii], g0[kii], mu0)
+    pIceDL = _fresnel(_layer_props(tau0[kii + 1], w00[kii + 1],
+                                   g0[kii + 1], mu0n_below),
+                      mu0, mu0n_below)
+    n_int = klev - kii - 2                       # kii+2 .. klev-1
+    ice_props = [pIceSSL, pIceDL]
+    if n_int > 0:
+        pIceInt = _layer_props(tau0[kii + 2], w00[kii + 2], g0[kii + 2],
+                               mu0n_below)
+        ice_props += [pIceInt] * n_int
+    ice_props.append(_layer_props(tau0[klev], w00[klev], g0[klev],
+                                  mu0n_below))
+
+    # bare: transparent top layers (tau=0 -> R=0, T=1 exactly)
+    o = jnp.ones((), dtype)
+    z0 = jnp.zeros((), dtype)
+    clear = LayerProps(rdir=z0, tdir=o, rdif_a=z0, rdif_b=z0,
+                      tdif_a=o, tdif_b=o, trnlay=o)
+    props_bare = [clear] * (nslyr + 1) + ice_props
+
+    # snow: distinct SSL + first layer; deeper snow layers identical
+    snow_top = [_layer_props(tau1[0], w01[0], g1[0], mu0),
+                _layer_props(tau1[1], w01[1], g1[1], mu0)]
+    if nslyr > 1:
+        pSr = _layer_props(tau1[2], w01[2], g1[2], mu0)
+        snow_top += [pSr] * (nslyr - 1)
+    props_snow = snow_top + ice_props
+
+    # pond: Fresnel at the very top (kf=0); water layers identical; all
+    # sub-ice pond layers identical
+    pPw = _layer_props(tau2[1], w02[1], g2[1], mu0n_below)
+    pP0 = _fresnel(pPw, mu0, mu0n_below)
+    n_pint = klev - kii - 1                      # kii+2 .. klev
+    props_pond = [pP0] + [pPw] * nslyr \
+        + [_layer_props(tau2[kii], w02[kii], g2[kii], mu0n_below),
+           _layer_props(tau2[kii + 1], w02[kii + 1], g2[kii + 1],
+                        mu0n_below)] \
+        + [_layer_props(tau2[kii + 2], w02[kii + 2], g2[kii + 2],
+                        mu0n_below)] * n_pint
+
+    shape_ref = jnp.zeros((NSPINT,) + B, dtype)
+    # open-ocean albedo under the ice: 0.01 visible, 0 near-IR (per band)
+    albo = jnp.asarray([0.01, 0.0, 0.0], dtype).reshape(
+        (NSPINT,) + (1,) * len(B))
+    solA = _adding(props_bare, albo, albo, shape_ref)
+    solS = _adding(props_snow, albo, albo, shape_ref)
+    solP = _adding(props_pond, albo, albo, shape_ref)
 
     part_common = dict(nilyr=nilyr, nslyr=nslyr, fnidr=fnidr,
                        swvdr=swvdr, swvdf=swvdf, swidr=swidr, swidf=swidf,
                        B=B, dtype=dtype)
-    rs = [ _partition(srftyp=srf,
-                      dfdirA=dfdirA[:, 3 * srf:3 * srf + 3],
-                      dfdifA=dfdifA[:, 3 * srf:3 * srf + 3],
-                      rupdirA=sol[3][:, 3 * srf:3 * srf + 3],
-                      rupdifA=sol[4][:, 3 * srf:3 * srf + 3],
-                      **part_common)
-          for srf in range(3)]
+    rs = [_partition_sol(srftyp=srf, sol=sol, **part_common)
+          for srf, sol in ((0, solA), (1, solS), (2, solP))]
     r_bare, r_snow, r_pond = rs
 
     def mix(name):

@@ -526,14 +526,21 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
     ratio_new = jnp.where(vtmp > 0.0, vsurp / jnp.maximum(vtmp, 1e-30), 0.0)
     q0 = tr.nt_qice
     s0 = tr.nt_sice
-    for k in range(nilyr):
-        trcrn = trcrn.at[:, q0 + k].set(jnp.where(
-            has_surp[None], trcrn[:, q0 + k] * ratio_old + qi0new * ratio_new,
-            trcrn[:, q0 + k]))
-        trcrn = trcrn.at[:, s0 + k].set(jnp.where(
-            has_surp[None],
-            trcrn[:, s0 + k] * ratio_old + salinz[k] * ratio_new,
-            trcrn[:, s0 + k]))
+    # block update of all qice/sice layers at once: per-layer .at[].set
+    # chains cost one full trcrn copy EACH (2*nilyr dynamic-update-slices)
+    hsm = has_surp[None, None]
+    ro, rn = ratio_old[:, None], ratio_new[:, None]
+    qblk = trcrn[:, q0:q0 + nilyr]
+    sblk = trcrn[:, s0:s0 + nilyr]
+    salz = salinz.reshape((1, nilyr) + (1,) * (trcrn.ndim - 2))
+    qnew = jnp.where(hsm, qblk * ro + qi0new * rn, qblk)
+    snew = jnp.where(hsm, sblk * ro + salz * rn, sblk)
+    if s0 == q0 + nilyr:
+        trcrn = trcrn.at[:, q0:s0 + nilyr].set(
+            jnp.concatenate([qnew, snew], axis=1))
+    else:
+        trcrn = trcrn.at[:, q0:q0 + nilyr].set(qnew)
+        trcrn = trcrn.at[:, s0:s0 + nilyr].set(snew)
     if tr_iage:
         trcrn = trcrn.at[:, tr.nt_iage].set(jnp.where(
             has_surp[None] & (vtmp > ct.puny),
@@ -577,9 +584,20 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
             mixA(trcrn[0, tr.nt_alvl], 1.0))
         trcrn = trcrn.at[0, tr.nt_vlvl].set(
             mixV(trcrn[0, tr.nt_vlvl], 1.0))
-    for k in range(nilyr):
-        trcrn = trcrn.at[0, q0 + k].set(mixV(trcrn[0, q0 + k], qi0new))
-        trcrn = trcrn.at[0, s0 + k].set(mixV(trcrn[0, s0 + k], salinz[k]))
+    # block mixV over all qice/sice layers of category 1 (one update)
+    mixm = (add1 & (v1new > ct.puny))[None]
+    v1s = jnp.maximum(v1new, ct.puny)
+    qb = trcrn[0, q0:q0 + nilyr]
+    sb = trcrn[0, s0:s0 + nilyr]
+    qbn = jnp.where(mixm, (qb * vice1 + qi0new * vi0n) / v1s, qb)
+    salz1 = salinz.reshape((nilyr,) + (1,) * (trcrn.ndim - 2))
+    sbn = jnp.where(mixm, (sb * vice1 + salz1 * vi0n) / v1s, sb)
+    if s0 == q0 + nilyr:
+        trcrn = trcrn.at[0, q0:s0 + nilyr].set(
+            jnp.concatenate([qbn, sbn], axis=0))
+    else:
+        trcrn = trcrn.at[0, q0:q0 + nilyr].set(qbn)
+        trcrn = trcrn.at[0, s0:s0 + nilyr].set(sbn)
 
     return NewIce(aicen=aicen, vicen=vicen, trcrn=trcrn, frazil=frazil,
                   dfresh=dfresh, dfsalt=dfsalt)

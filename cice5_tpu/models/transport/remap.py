@@ -434,7 +434,10 @@ def _integrals(g: Geometry, views_mc, views_mx, views_my, views_tc,
         Wp[p] = wmaps(mts_g, mtx_g, mty_g)
 
     # apply the weight maps to the full tracer view stacks, grouped by
-    # weight set so each class is one fused multi-view pass
+    # weight set so each class is one fused multi-view pass. When a class's
+    # tracers are contiguous in the stack (transport_remap sorts them so),
+    # the per-view reads are basic slices — fancy-index gathers of the
+    # 12 MB view stacks were the remap's single largest HBM cost.
     flux = [None] * ntrace
     classes: dict = {}
     for nt in range(ntrace):
@@ -445,7 +448,10 @@ def _integrals(g: Geometry, views_mc, views_mx, views_my, views_tc,
         W = W1 if key[0] == "1" else Wp[key[1]]
         Wc, Wx, Wy = W
         use_grad = key[0] == "1" or key[0] == 2
-        sel = jnp.asarray(idxs)
+        if idxs == list(range(idxs[0], idxs[-1] + 1)):
+            sel = slice(idxs[0], idxs[-1] + 1)
+        else:
+            sel = jnp.asarray(idxs)
         acc = None
         for v in codes:
             term = Wc[v][None] * views_tc[v][sel]
@@ -533,9 +539,15 @@ def remap_fields(grid, topo: Topology, geom: RemapGeometry, *, mm, tm,
     mtx = [None] * ntrace
     mty = [None] * ntrace
 
+    def _sel(idxs):
+        """Basic slice when contiguous (no gather), else fancy index."""
+        if idxs == list(range(idxs[0], idxs[-1] + 1)):
+            return slice(idxs[0], idxs[-1] + 1)
+        return jnp.asarray(idxs)
+
     idx1 = [nt for nt in range(ntrace) if tracer_type[nt] == 1]
     if idx1:
-        sel = jnp.asarray(idx1)
+        sel = _sel(idx1)
         tx_b, ty_b = limited_gradient(tm[sel], mmask, mxav, myav, topo)
         tc_b = tm[sel] - tx_b * mxav - ty_b * myav
         # center of mass*tracer for dependents (:1208-1240)
@@ -555,7 +567,7 @@ def remap_fields(grid, topo: Topology, geom: RemapGeometry, *, mm, tm,
         if tracer_type[nt] == 2:
             by_parent.setdefault(parent[nt], []).append(nt)
     for p, idxs in by_parent.items():
-        sel = jnp.asarray(idxs)
+        sel = _sel(idxs)
         tmask_p = (jnp.abs(tm[p]) > 0.0).astype(mm.dtype) * mmask
         tx_b, ty_b = limited_gradient(tm[sel], tmask_p, mtx[p], mty[p],
                                       topo)
@@ -679,11 +691,34 @@ def transport_remap(dt, grid, topo: Topology, tr: TracerRegistry, *, uvel,
                 tracer_type.append(3)
                 parent.append(2 + p)
 
+    # class-sort the tracer table so that every (type, parent) class is a
+    # CONTIGUOUS block of the packed stack: the per-class reads in
+    # remap_fields/_integrals then compile to basic slices instead of
+    # gather copies of the ~12 MB view stacks (the dominant HBM cost of
+    # remap at gx1 size). Stable sort keeps parents (type 1 < 2 < 3)
+    # ahead of their dependents, which the update recursion requires.
+    n_all = 2 + ntrcr
+    def _ckey(i):
+        t = tracer_type[i]
+        return (1, 0) if t == 1 else (t, parent[i])
+    order = sorted(range(n_all), key=_ckey)
+    inv = [0] * n_all
+    for k, i in enumerate(order):
+        inv[i] = k
+    tracer_type = [tracer_type[i] for i in order]
+    parent = [inv[parent[i]] if parent[i] >= 0 else -1 for i in order]
+
     safe_a = jnp.maximum(aicen, ct.puny)
     has = aicen > 0.0
     hice = jnp.where(has, vicen / safe_a, 0.0)
     hsno = jnp.where(has, vsnon / safe_a, 0.0)
-    tm = jnp.concatenate([hice[:, None], hsno[:, None], trcrn], axis=1)
+    def _src(i):
+        if i == 0:
+            return hice
+        if i == 1:
+            return hsno
+        return trcrn[:, i - 2]
+    tm = jnp.stack([_src(i) for i in order], axis=1)
 
     geom = remap_geometry(dt, grid, topo, uvel=uvel, vvel=vvel)
 
@@ -702,9 +737,10 @@ def transport_remap(dt, grid, topo: Topology, tr: TracerRegistry, *, uvel,
     mm_new, tm_new = jax.vmap(one_cat)(aicen, tm)
 
     aicen_n = mm_new
-    hice_n = tm_new[:, 0]
-    hsno_n = tm_new[:, 1]
-    trcrn_n = tm_new[:, 2:]
+    hice_n = tm_new[:, inv[0]]
+    hsno_n = tm_new[:, inv[1]]
+    trcrn_n = jnp.stack([tm_new[:, inv[2 + it]] for it in range(ntrcr)],
+                        axis=1)
     vicen_n = aicen_n * hice_n
     vsnon_n = aicen_n * hsno_n
 

@@ -77,3 +77,48 @@ class TestDEdd:
                                    jnp.asarray(0.0), 355.0, 43200.0)
         assert float(cz_summer) > 0.2
         assert float(cz_winter) < 0.0
+
+
+class TestDedupFastPathEquivalence:
+    """shortwave_dEdd's deduplicated-layer solver must match the generic
+    per-case compute_dEdd pipeline exactly (same math, shared layers
+    computed once)."""
+
+    def _compute_ref(self, srftyp, inp, hs_eff, rsnw, hp):
+        swid = inp["swidr"] + inp["swidf"]
+        return compute_dEdd(
+            nilyr=7, nslyr=1, srftyp=srftyp, coszen=inp["coszen"],
+            fnidr=inp["fnidr"], swvdr=inp["swvdr"], swvdf=inp["swvdf"],
+            swidr=inp["swidr"], swidf=inp["swidf"], hs=hs_eff, rsnw=rsnw,
+            hi=jnp.maximum(inp["vicen"] / inp["aicen"], ct.puny), hp=hp)
+
+    @pytest.mark.parametrize("case", ["snow", "bare", "pond"])
+    def test_pure_surface_matches_generic(self, case):
+        from cice5_tpu.models.radiation.dedd import set_snow
+        if case == "snow":
+            inp = _inputs(hs=0.3, Tsf=-15.0)     # fs = 1
+            srf = 1
+        elif case == "bare":
+            inp = _inputs(hs=0.0)                 # fi = 1
+            srf = 0
+        else:
+            inp = _inputs(hs=0.0, apnd=1.0, hpnd=0.3)   # fp = 1
+            srf = 2
+        r = shortwave_dEdd(**inp)
+        fs, hs, rsnw = set_snow(inp["aicen"], inp["vsnon"], inp["Tsfcn"],
+                                R_snw=1.5, rsnw_mlt=1500.0, dT_mlt=1.5,
+                                hs0=0.03)
+        hs_eff = (jnp.zeros_like(hs) if srf != 1
+                  else jnp.maximum(hs, ct.hs_min))
+        hp = inp["hpnd"] if srf == 2 else jnp.zeros_like(hs)
+        ref = self._compute_ref(srf, inp, hs_eff, rsnw, hp)
+        np.testing.assert_allclose(np.asarray(r.alvdrn),
+                                   np.asarray(ref.avdr), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(r.alidfn),
+                                   np.asarray(ref.aidf), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(r.fswsfcn),
+                                   np.asarray(ref.fsfc), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(r.fswthrun),
+                                   np.asarray(ref.fthru), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(r.Iswabsn),
+                                   np.asarray(ref.Iabs), atol=1e-8)
