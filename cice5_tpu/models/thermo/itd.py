@@ -173,6 +173,16 @@ def shift_ice(tr: TracerRegistry, aicen, vicen, vsnon, trcrn,
     ncat = aicen.shape[0]
     atrcrn = tracer_weights(tr, aicen, vicen, vsnon, trcrn) * trcrn
 
+    # per-category PYTHON lists: the boundary loop updates list entries in
+    # place (later boundaries must see earlier deposits — sequential
+    # reference semantics, ice_itd.F90 boundary loop), with NO
+    # dynamic-update-slices — each .at[b].add on the stacked arrays cost a
+    # full-array HBM copy (8 x 56 MB per shift_ice call at gx1 size)
+    aiL = [aicen[n] for n in range(ncat)]
+    viL = [vicen[n] for n in range(ncat)]
+    vsL = [vsnon[n] for n in range(ncat)]
+    atL = [atrcrn[n] for n in range(ncat)]
+
     for b in range(ncat - 1):
         db = donor[b]
         da = daice[b]
@@ -180,8 +190,8 @@ def shift_ice(tr: TracerRegistry, aicen, vicen, vsnon, trcrn,
         lo_is_donor = db == b
         active = (db >= 0)
 
-        a_nd = jnp.where(lo_is_donor, aicen[b], aicen[b + 1])
-        v_nd = jnp.where(lo_is_donor, vicen[b], vicen[b + 1])
+        a_nd = jnp.where(lo_is_donor, aiL[b], aiL[b + 1])
+        v_nd = jnp.where(lo_is_donor, viL[b], viL[b + 1])
 
         # range snapping (ice_itd.F90:905-1032): tiny -> zero, near-full ->
         # whole category
@@ -196,14 +206,17 @@ def shift_ice(tr: TracerRegistry, aicen, vicen, vsnon, trcrn,
         dv = jnp.where(active, dv, 0.0)
 
         frac = jnp.where(active, da / jnp.maximum(a_nd, ct.puny), 0.0)
-        s_nd = jnp.where(lo_is_donor, vsnon[b], vsnon[b + 1])
+        s_nd = jnp.where(lo_is_donor, vsL[b], vsL[b + 1])
         dvs = s_nd * frac
 
         # signed deltas for the two categories at this boundary
         sgn_lo = jnp.where(lo_is_donor, -1.0, 1.0)
-        aicen = aicen.at[b].add(sgn_lo * da).at[b + 1].add(-sgn_lo * da)
-        vicen = vicen.at[b].add(sgn_lo * dv).at[b + 1].add(-sgn_lo * dv)
-        vsnon = vsnon.at[b].add(sgn_lo * dvs).at[b + 1].add(-sgn_lo * dvs)
+        aiL[b] = aiL[b] + sgn_lo * da
+        aiL[b + 1] = aiL[b + 1] - sgn_lo * da
+        viL[b] = viL[b] + sgn_lo * dv
+        viL[b + 1] = viL[b + 1] - sgn_lo * dv
+        vsL[b] = vsL[b] + sgn_lo * dvs
+        vsL[b + 1] = vsL[b + 1] - sgn_lo * dvs
 
         # tracer amounts from the donor category
         t_nd = jnp.where(lo_is_donor[None], trcrn[b], trcrn[b + 1])
@@ -218,9 +231,13 @@ def shift_ice(tr: TracerRegistry, aicen, vicen, vsnon, trcrn,
             base = {DEP_AICE: da, DEP_VICE: dv, DEP_VSNO: dvs}[tr.depend[q]]
             dats.append(base * amt)
         dat = jnp.stack(dats, axis=0)                 # (ntrcr, *B)
-        atrcrn = atrcrn.at[b].add(sgn_lo[None] * dat)
-        atrcrn = atrcrn.at[b + 1].add(-sgn_lo[None] * dat)
+        atL[b] = atL[b] + sgn_lo[None] * dat
+        atL[b + 1] = atL[b + 1] - sgn_lo[None] * dat
 
+    aicen = jnp.stack(aiL)
+    vicen = jnp.stack(viL)
+    vsnon = jnp.stack(vsL)
+    atrcrn = jnp.stack(atL)
     trcrn = compute_tracers(tr, atrcrn, aicen, vicen, vsnon)
     return aicen, vicen, vsnon, trcrn
 

@@ -356,7 +356,9 @@ def _donor_select(donor, views):
 
 class RemapFluxes(NamedTuple):
     mflx: jnp.ndarray      # (nyr, nxr) mass flux across each edge
-    mtflx: jnp.ndarray     # (ntrace, nyr, nxr)
+    mtflx: tuple           # ntrace arrays (nyr, nxr) — kept as a
+    # tuple so the update step reads per-tracer fluxes without a stacked
+    # (ntrace, nyr, nxr) materialization
 
 
 def _integrals(g: Geometry, views_mc, views_mx, views_my, views_tc,
@@ -461,7 +463,7 @@ def _integrals(g: Geometry, views_mc, views_mx, views_my, views_tc,
             acc = term if acc is None else acc + term
         for k, nt in enumerate(idxs):
             flux[nt] = acc[k]
-    return RemapFluxes(mflx=mflx, mtflx=jnp.stack(flux))
+    return RemapFluxes(mflx=mflx, mtflx=tuple(flux))
 
 
 def horizontal_remap(dt, grid, topo: Topology, *, uvel, vvel, mm, tm,
@@ -628,8 +630,8 @@ def remap_fields(grid, topo: Topology, geom: RemapGeometry, *, mm, tm,
     tms = []
     pos = mm_new > 0.0
     for nt in range(ntrace):
-        w1 = (fe.mtflx[nt, :, 1:] - fe.mtflx[nt, :, :-1]
-              + fn.mtflx[nt, 1:, :] - fn.mtflx[nt, :-1, :])
+        w1 = (fe.mtflx[nt][:, 1:] - fe.mtflx[nt][:, :-1]
+              + fn.mtflx[nt][1:, :] - fn.mtflx[nt][:-1, :])
         mt_new = mtold[nt] - w1 * grid.tarear
         if tracer_type[nt] == 1:
             den = mm_new
