@@ -186,10 +186,14 @@ class Model:
                     diag_fn(istep, state, diag)
 
             if history is not None:
-                history.accum(hist_mod.diag_to_values(diag, state, self.grid,
-                                                      tr=self.tr),
-                              info.time)
-                if history.ready(info):
+                history.accum(hist_mod.diag_to_values(
+                    diag, state, self.grid, tr=self.tr, forcing=forcing,
+                    nilyr=cfg.nilyr, nslyr=cfg.nslyr), info.time)
+                if hasattr(history, "write_ready"):   # HistoryStreams
+                    for fn in history.write_ready(self.grid, info,
+                                                  history_dir):
+                        log(f"wrote history {fn}")
+                elif history.ready(info):
                     fn = os.path.join(
                         history_dir,
                         f"iceh.{info.year:04d}-{info.month:02d}-"

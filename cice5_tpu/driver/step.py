@@ -84,6 +84,8 @@ class StepDiag(NamedTuple):
     fpond: jnp.ndarray          # net meltwater flux into ponds (m/step)
     transport_conserv_err: jnp.ndarray   # 0 unless conserv_check
     transport_mono_bad: jnp.ndarray      # 0 unless monotonicity_check
+    fsurfn_ai: jnp.ndarray      # (ncat, ny, nx) ai-weighted sfc heat flux
+    flatn_ai: jnp.ndarray       # (ncat, ny, nx) ai-weighted latent flux
     faero_ocn: jnp.ndarray   # (n_aero, ny, nx); empty when tr_aero off
     flux_bio: jnp.ndarray    # (nbtrcr, ny, nx) BGC flux to ocean; empty
     PP_net: jnp.ndarray      # net primary production (mg C/m^2/s)
@@ -692,6 +694,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         fpond=fpond_step,
         transport_conserv_err=conserv_err,
         transport_mono_bad=mono_bad,
+        fsurfn_ai=w * tres.fsurfn,
+        flatn_ai=w * tres.flatn,
         faero_ocn=(faero_ocn if tcfg.tr_aero
                    else jnp.zeros((0, ny, nx), dtype)),
         flux_bio=(flux_bio if tcfg.skl_bgc

@@ -234,3 +234,57 @@ class TestPopGridNc:
                        g["ANGLE"], g["kmt"])
         assert not bool(np.asarray(G.tmask)[0].any())  # kmt=0 row is land
         assert np.asarray(G.tarea).min() > 0
+
+
+class TestHistory3D4D:
+    """Per-category (3Dc) and vertical (4Di/4Ds) history output
+    (ice_history_shared.F90 a3Dc/a4Di/a4Ds buffers, accum_hist_field_3D/4D
+    :741/:805; f_aicen/f_vicen/f_Tinz/f_Sinz flags)."""
+
+    def test_catalog_and_roundtrip(self, tmp_path):
+        import dataclasses
+        import numpy as np
+        from scipy.io import netcdf_file
+        from cice5_tpu.config import rect_config
+        from cice5_tpu.driver.model import Model
+        import cice5_tpu.io.history as hmod
+
+        cfg = rect_config()
+        cfg = cfg.replace(
+            grid=dataclasses.replace(cfg.grid, ny=12, nx=16),
+            tracers=dataclasses.replace(cfg.tracers, tr_lvl=True,
+                                        tr_pond_lvl=True),
+            dyn=dataclasses.replace(cfg.dyn, ndte=10))
+        m = Model(cfg)
+        fields = hmod.available_fields(cfg, m.tr)
+        names = {f.name for f in fields}
+        # category + vertical fields present in the catalog
+        for want in ("aicen", "vicen", "Tsfcn", "apondn", "ardgn",
+                     "Tinz", "Sinz", "Tsnz"):
+            assert want in names, want
+        hs = hmod.HistoryStreams([hmod.HistoryStream(fields, freq="1",
+                                                     freq_n=1,
+                                                     suffix="inst")])
+        st = m.init_state(ice_mask=np.asarray(m.grid.tmask))
+        st = m.run(st, nsteps=2, history=hs, history_dir=str(tmp_path))
+        stream = hs.streams[0]
+        # stream wrote after each step (freq '1'); re-accumulate one more
+        # to write manually and check dims
+        import glob
+        paths = glob.glob(str(tmp_path / "*.nc"))
+        assert paths, "no history file written"
+        with netcdf_file(paths[-1], "r", mmap=False) as f:
+            assert "nc" in f.dimensions and f.dimensions["nc"] == cfg.ncat
+            assert f.dimensions["nkice"] == cfg.nilyr
+            assert f.dimensions["nksnow"] == cfg.nslyr
+            va = np.array(f.variables["aicen"][:])
+            assert va.shape == (1, cfg.ncat, 12, 16)
+            vt = np.array(f.variables["Tinz"][:])
+            assert vt.shape == (1, cfg.nilyr, cfg.ncat, 12, 16)
+            # physical: internal temperatures cold but finite where ice
+            msk = va[0].sum(0) > 0.5
+            assert np.isfinite(vt).all()
+            assert (vt[0, :, :, msk] < 1.0).all()
+            vs = np.array(f.variables["Sinz"][:])
+            assert vs.shape == (1, cfg.nilyr, cfg.ncat, 12, 16)
+            assert vs.max() > 0.1          # bulk salinity present
