@@ -104,6 +104,12 @@ def main():
         "step_ms": round(dt_parity * 1e3, 2),
         "easy_config_value": round(rate_easy, 1),
         "easy_config_step_ms": round(dt_easy * 1e3, 2),
+        # multi-chip EVP communication: per-subcycle halo (ndte exchanges)
+        # or chunked margin decay (evp_algorithm='chunked': ndte/K slab
+        # exchanges; tests/test_evp_chunked.py counts them in the lowered
+        # program)
+        "sharded_evp_exchanges_per_dyn_step": {"per_subcycle": 120,
+                                               "chunked_K10": 12},
     }))
 
 

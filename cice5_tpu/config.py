@@ -69,6 +69,8 @@ class DynConfig:
     kdyn: int = 1                    # 0=off, 1=EVP, 2=EAP
     ndte: int = 120                  # EVP subcycles per dynamics step
     evp_algorithm: str = "xla"       # xla | pallas (fused VMEM subcycles)
+    # | chunked (K subcycles per halo exchange — comm/compute overlap)
+    evp_chunk: int = 10              # subcycles per margin exchange (chunked)
     revised_evp: bool = False        # Bouillon-13 revised EVP (ice_dyn_shared.F90:230)
     yield_curve: str = "ellipse"     # only 'ellipse' exists (ice_dyn_shared.F90:41)
     e_ratio: float = 2.0             # yield-curve axis ratio e (ecci = 1/e^2)

@@ -573,6 +573,13 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                         and topo.ns not in ("tripole", "tripoleT")):
                     from cice5_tpu.ops.pallas.evp_fused import evp_fused
                     evp_fn = evp_fused
+                elif (cfg.dyn.evp_algorithm == "chunked"
+                        and topo.ns not in ("tripole", "tripoleT")):
+                    # comm/compute-overlapped subcycling: ndte/K margin
+                    # exchanges instead of ndte (evp.py evp_chunked)
+                    from functools import partial
+                    from cice5_tpu.models.dynamics.evp import evp_chunked
+                    evp_fn = partial(evp_chunked, K=cfg.dyn.evp_chunk)
                 ev = evp_fn(dt_dyn, p, grid, topo, aice=agg.aice,
                          vice=agg.vice,
                          vsno=agg.vsno, strength=strength, strairxT=strairxT,

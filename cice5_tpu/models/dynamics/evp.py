@@ -385,3 +385,142 @@ def evp(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
         strtltx=strtltx, strtlty=strtlty,
         divu=crop(divuR), shear=crop(shearR), rdg_conv=crop(rconvR),
         rdg_shear=crop(rshearR), prs_sig=crop(prsR))
+
+
+def evp_chunked(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice,
+                vsno, strength, strairxT, strairyT, uocn, vocn, uvel, vvel,
+                stressp, stressm, stress12, iceumask, ss_tltx=None,
+                ss_tlty=None, Cw=ct.dragio, K: int = 10) -> EVPResult:
+    """Comm/compute-overlapped EVP: K subcycles per halo exchange.
+
+    The reference's scaling killer is one (u,v) halo exchange per subcycle
+    (ndte=120 latency-bound exchanges per dynamics step,
+    ice_dyn_evp.F90:336-410; CMHB-2014 Fig. 3). Here a K-ring margin of
+    (u, v, 12 stress components) is exchanged ONCE per K subcycles
+    (`extend_wide`, one ppermute pair per mesh axis), the margin is
+    recomputed redundantly, and validity decays one ring per subcycle —
+    interior results are identical to the per-subcycle-exchange loop (the
+    margin-decay light cone never reaches the interior). Exchange count:
+    ndte/K instead of ndte.
+
+    Cyclic/open boundaries (the tripole seam falls back to `evp`).
+    Requires ndte % K == 0 and K <= local shard extent.
+    """
+    if topo.ns in ("tripole", "tripoleT"):
+        raise NotImplementedError("evp_chunked: tripole unsupported; "
+                                  "use evp()")
+    if p.ndte % K != 0:
+        raise ValueError(f"ndte={p.ndte} not divisible by K={K}")
+    from cice5_tpu.parallel import extend_wide
+    ny, nx = aice.shape
+    W = K
+    nchunks = p.ndte // K
+
+    # --- prep identical to evp() on the local domain ---
+    tmass, icetmask = dyn.icet_mask(aice, vice, vsno, grid.tmask, topo)
+    aiu = dyn.to_ugrid(aice, grid, topo)
+    umass = dyn.to_ugrid(tmass, grid, topo)
+    strairx = dyn.to_ugrid(strairxT, grid, topo)
+    strairy = dyn.to_ugrid(strairyT, grid, topo)
+    icem_u = grid.umask & (aiu > dyn.A_MIN) & (umass > dyn.M_MIN)
+    new_pts = icem_u & (iceumask < 0.5)
+    uvel = jnp.where(new_pts, uocn, uvel)
+    vvel = jnp.where(new_pts, vocn, vvel)
+    uvel = jnp.where(icem_u, uvel, 0.0)
+    vvel = jnp.where(icem_u, vvel, 0.0)
+    umassdti = jnp.where(icem_u, umass / dt, 0.0)
+    fm = grid.fcor * umass
+    sgn = jnp.sign(fm)
+    waterx = uocn * p.cosw - vocn * p.sinw * sgn
+    watery = vocn * p.cosw + uocn * p.sinw * sgn
+    if ss_tltx is None:
+        strtltx = -fm * vocn
+        strtlty = fm * uocn
+    else:
+        strtltx = -ct.gravit * umass * ss_tltx
+        strtlty = -ct.gravit * umass * ss_tlty
+    forcex = jnp.where(icem_u, strairx + strtltx, 0.0)
+    forcey = jnp.where(icem_u, strairy + strtlty, 0.0)
+
+    # --- static fields extended once per call (one wide exchange) ---
+    met_names = ("dxt", "dyt", "dxhy", "dyhx", "cxp", "cyp", "cxm", "cym",
+                 "tarear", "tinyarea")
+    dtype = aice.dtype
+    statics = jnp.stack(
+        [getattr(grid, k) for k in met_names]
+        + [strength, icetmask.astype(dtype), uocn, vocn, waterx, watery,
+           forcex, forcey, umassdti, fm, grid.uarear,
+           icem_u.astype(dtype), uvel, vvel])
+    SW = extend_wide(statics, topo, W)
+    topoI = Topology(ew="open", ns="open")   # inner: no comm, zero rims
+    gRw = {k: extend(SW[i], topoI)[1:, 1:]
+           for i, k in enumerate(met_names)}
+    strengthRw = extend(SW[10], topoI)[1:, 1:]
+    maskRw = extend(SW[11], topoI)[1:, 1:] > 0.5
+    uocnW, vocnW = SW[12], SW[13]
+    waterxW, wateryW = SW[14], SW[15]
+    forcexW, forceyW = SW[16], SW[17]
+    umassdtiW, fmW = SW[18], SW[19]
+    uarearW = SW[20]
+    icem_uW = SW[21] > 0.5
+    uvel_initW, vvel_initW = SW[22], SW[23]
+
+    aiuW = extend_wide(aiu, topo, W)
+
+    def body_inner(k, carry):
+        u, v, stress, _ = carry
+        uvE = extend(jnp.stack([u, v]), topoI)
+        r = stress_kernel(p, uvE[0], uvE[1], stress, maskR=maskRw,
+                          strengthR=strengthRw, gR=gRw)
+        s = dyn.stepu(p, icemask=icem_uW, aiu=aiuW, strE=r.str8,
+                      uocn=uocnW, vocn=vocnW, waterx=waterxW,
+                      watery=wateryW, forcex=forcexW, forcey=forceyW,
+                      umassdti=umassdtiW, fm=fmW, uarear=uarearW,
+                      uvel_init=uvel_initW, vvel_init=vvel_initW,
+                      uvel=u, vvel=v, Cw=Cw)
+        return (s.uvel, s.vvel, r.stress,
+                (r.divu, r.shear, r.rdg_conv, r.rdg_shear, r.prs_sig,
+                 s.strintx, s.strinty))
+
+    zRw = jnp.zeros((ny + 2 * W + 1, nx + 2 * W + 1), dtype)
+    z2w = jnp.zeros((ny + 2 * W, nx + 2 * W), dtype)
+
+    def chunk_body(c, carry):
+        u, v, stress0, _ = carry   # u/v (ny,nx); stress0 (12,ny,nx)
+        S = jnp.concatenate([u[None], v[None], stress0])
+        SE = extend_wide(S, topo, W)           # ONE exchange per chunk
+        uW_, vW_ = SE[0], SE[1]
+        stressRW = extend(SE[2:], topoI)[:, 1:, 1:]
+        stressRW = jnp.where(maskRw[None], stressRW, 0.0)
+        init = (uW_, vW_, stressRW, (zRw, zRw, zRw, zRw, zRw, z2w, z2w))
+        uW2, vW2, stressRW2, diags = jax.lax.fori_loop(
+            0, K, body_inner, init)
+        cropi = lambda a: a[..., W:W + ny, W:W + nx]
+        stress_new = cropi(stressRW2)
+        return (cropi(uW2), cropi(vW2), stress_new,
+                tuple(cropi(d) for d in diags))
+
+    stress0 = jnp.concatenate([stressp, stressm, stress12], axis=0)
+    z2 = jnp.zeros_like(uvel)
+    init = (uvel, vvel, stress0, (z2, z2, z2, z2, z2, z2, z2))
+    u, v, stress_f, diags = jax.lax.fori_loop(0, nchunks, chunk_body, init)
+    divu, shear, rconv, rshear, prs, strintx, strinty = diags
+
+    strocnx, strocny, sTx_u, sTy_u = dyn.evp_finish(
+        p, icemask=icem_u, uvel=u, vvel=v, uocn=uocn, vocn=vocn, aiu=aiu,
+        fm=fm, Cw=Cw)
+    strocnxT = dyn.to_tgrid(sTx_u, grid, topo)
+    strocnyT = dyn.to_tgrid(sTy_u, grid, topo)
+
+    return EVPResult(
+        uvel=u, vvel=v,
+        stressp=stress_f[0:4], stressm=stress_f[4:8],
+        stress12=stress_f[8:12],
+        iceumask=icem_u.astype(dtype),
+        strocnx=strocnx, strocny=strocny,
+        strocnxT=strocnxT, strocnyT=strocnyT,
+        strairx=strairx, strairy=strairy,
+        strintx=strintx, strinty=strinty,
+        strtltx=strtltx, strtlty=strtlty,
+        divu=divu, shear=shear, rdg_conv=rconv,
+        rdg_shear=rshear, prs_sig=prs)

@@ -245,6 +245,50 @@ def shifted(F, di: int, dj: int):
     return F[..., j0:j1, i0:i1]
 
 
+def extend_wide(f: jnp.ndarray, topo: Topology, W: int) -> jnp.ndarray:
+    """Add a W-cell ghost ring in ONE neighbor exchange per side:
+    (..., ny, nx) -> (..., ny+2W, nx+2W).
+
+    This is the communication primitive of the chunked (comm/compute-
+    overlapped) EVP subcycling: instead of one 1-ring exchange per subcycle
+    (the reference's per-subcycle MPI halo, ice_dyn_evp.F90:392-399), a
+    K-ring margin is exchanged once per K subcycles and the margin is
+    recomputed redundantly, cutting the latency-bound exchange count by K.
+
+    Cyclic/open boundaries only (the tripole fold of the 1-ring `extend`
+    is not implemented for wide margins yet — callers fall back). Requires
+    W <= the local shard extent on sharded axes (single-hop exchange).
+    """
+    if topo.ns in ("tripole", "tripoleT"):
+        raise NotImplementedError("extend_wide: tripole fold unsupported")
+    if W == 1:
+        return extend(f, topo)
+    cyc_x = topo.ew == "cyclic"
+    cyc_y = topo.ns == "cyclic"
+
+    # --- x ---
+    if topo.axis_x is not None:
+        wvals = _pshift(f[..., :, -W:], topo.axis_x, +1, cyc_x)
+        evals = _pshift(f[..., :, :W], topo.axis_x, -1, cyc_x)
+    elif cyc_x:
+        wvals, evals = f[..., :, -W:], f[..., :, :W]
+    else:
+        wvals = jnp.zeros_like(f[..., :, -W:])
+        evals = jnp.zeros_like(f[..., :, :W])
+    fx = jnp.concatenate([wvals, f, evals], axis=-1)
+
+    # --- y (full extended rows so corners ride along) ---
+    if topo.axis_y is not None:
+        svals = _pshift(fx[..., -W:, :], topo.axis_y, +1, cyc_y)
+        nvals = _pshift(fx[..., :W, :], topo.axis_y, -1, cyc_y)
+    elif cyc_y:
+        svals, nvals = fx[..., -W:, :], fx[..., :W, :]
+    else:
+        svals = jnp.zeros_like(fx[..., -W:, :])
+        nvals = jnp.zeros_like(fx[..., :W, :])
+    return jnp.concatenate([svals, fx, nvals], axis=-2)
+
+
 def global_min(x, topo: Topology, axis_names: tuple[str, ...] | None = None):
     """Global minimum of a shard-local array (the global_minval analog,
     mpi/ice_global_reductions.F90:1453)."""
