@@ -139,73 +139,91 @@ class Model:
         return init_state(self.cfg, self.grid, self.tr, self.hin_max,
                           self.salinz, **kw)
 
+    forcing_provider = None   # optional: callable(istep, info) -> Forcing
+
     def forcing_at(self, istep: int) -> Forcing:
         info = self.calendar.info(istep, self.cfg.time.dt)
+        if self.forcing_provider is not None:
+            return self.forcing_provider(istep, info)
         return self._jforcing(info.yday)
 
     def step(self, state: State, forcing: Forcing):
         return self._jstep(state, forcing, self.grid)
 
-    def run(self, state: State, nsteps: int, start_step: int = 0,
-            diag_every: int = 0, diag_fn=None, history=None,
-            history_dir: str = "history", restart_every: int = 0,
-            restart_dir: str = "restart", log=print,
-            check_every: int = 0):
+    def run(self, state: State, nsteps: int, **kw):
         """Time loop (CICE_RunMod.F90:37-90 CICE_Run): step + diagnostics +
         history accumulation/write + restart dumps."""
-        import os
-        from cice5_tpu.io import diagnostics as diag_mod
-        from cice5_tpu.io import history as hist_mod
-        from cice5_tpu.io import restart as restart_mod
+        return run_loop(self, state, nsteps, **kw)
 
-        cfg = self.cfg
-        rest = state if cfg.forcing.restore_ice else None
-        for k in range(nsteps):
-            istep = start_step + k
-            forcing = self.forcing_at(istep)
-            state, diag = self.step(state, forcing)
-            if rest is not None:
-                from cice5_tpu.models.restoring import restore_ice
-                state = restore_ice(cfg.time.dt, cfg.forcing.trestore,
-                                    state, rest, self.topo)
-            info = self.calendar.info(istep + 1, cfg.time.dt)
 
-            if check_every and (istep % check_every == 0):
-                from cice5_tpu.io.diagnostics import check_state
-                if not check_state(state, self.grid, self.tr, cfg.nilyr,
-                                   cfg.nslyr, istep=istep, log=log):
-                    raise RuntimeError(
-                        f"check_state failed at istep {istep} "
-                        "(see log for the offending cell dump)")
+def run_loop(m, state, nsteps: int, start_step: int = 0,
+             diag_every: int = 0, diag_fn=None, history=None,
+             history_dir: str = "history", restart_every: int = 0,
+             restart_dir: str = "restart", log=print,
+             check_every: int = 0):
+    """Shared driver time loop for Model and ShardedModel
+    (CICE_RunMod.F90:37-90 CICE_Run): step + runtime diagnostics + history
+    accumulation/write + restart dumps + state health checks. `m` needs
+    .cfg/.grid/.tr/.topo/.calendar/.step/.forcing_at; sharded arrays
+    gather transparently at the numpy boundaries (history/restart/diags).
+    """
+    import os
+    from cice5_tpu.io import diagnostics as diag_mod
+    from cice5_tpu.io import history as hist_mod
+    from cice5_tpu.io import restart as restart_mod
 
-            if diag_every and (istep % diag_every == 0):
-                gd = diag_mod.compute_diags(state, self.grid, self.tr,
-                                            cfg.nilyr, cfg.nslyr)
-                log(diag_mod.format_diags(istep, gd))
-                if diag_fn is not None:
-                    diag_fn(istep, state, diag)
+    cfg = m.cfg
+    rest = state if cfg.forcing.restore_ice else None
+    if rest is not None and m.topo.sharded:
+        raise NotImplementedError(
+            "restore_ice under ShardedModel: wrap restore_ice in the "
+            "sharded step (not yet plumbed)")
+    diag = None
+    for k in range(nsteps):
+        istep = start_step + k
+        forcing = m.forcing_at(istep)
+        state, diag = m.step(state, forcing)
+        if rest is not None:
+            from cice5_tpu.models.restoring import restore_ice
+            state = restore_ice(cfg.time.dt, cfg.forcing.trestore,
+                                state, rest, m.topo)
+        info = m.calendar.info(istep + 1, cfg.time.dt)
 
-            if history is not None:
-                history.accum(hist_mod.diag_to_values(
-                    diag, state, self.grid, tr=self.tr, forcing=forcing,
-                    nilyr=cfg.nilyr, nslyr=cfg.nslyr), info.time)
-                if hasattr(history, "write_ready"):   # HistoryStreams
-                    for fn in history.write_ready(self.grid, info,
-                                                  history_dir):
-                        log(f"wrote history {fn}")
-                elif history.ready(info):
-                    fn = os.path.join(
-                        history_dir,
-                        f"iceh.{info.year:04d}-{info.month:02d}-"
-                        f"{info.mday:02d}-{info.sec:05d}.nc")
-                    hist_mod.write_netcdf(history, self.grid, info, fn)
+        if check_every and (istep % check_every == 0):
+            from cice5_tpu.io.diagnostics import check_state
+            if not check_state(state, m.grid, m.tr, cfg.nilyr,
+                               cfg.nslyr, istep=istep, log=log):
+                raise RuntimeError(
+                    f"check_state failed at istep {istep} "
+                    "(see log for the offending cell dump)")
+
+        if diag_every and (istep % diag_every == 0):
+            gd = diag_mod.compute_diags(state, m.grid, m.tr,
+                                        cfg.nilyr, cfg.nslyr)
+            log(diag_mod.format_diags(istep, gd))
+            if diag_fn is not None:
+                diag_fn(istep, state, diag)
+
+        if history is not None:
+            history.accum(hist_mod.diag_to_values(
+                diag, state, m.grid, tr=m.tr, forcing=forcing,
+                nilyr=cfg.nilyr, nslyr=cfg.nslyr), info.time)
+            if hasattr(history, "write_ready"):   # HistoryStreams
+                for fn in history.write_ready(m.grid, info, history_dir):
                     log(f"wrote history {fn}")
-
-            if restart_every and ((istep + 1) % restart_every == 0):
+            elif history.ready(info):
                 fn = os.path.join(
-                    restart_dir,
-                    f"iced.{info.year:04d}-{info.month:02d}-"
-                    f"{info.mday:02d}-{info.sec:05d}.npz")
-                restart_mod.dump(state, fn, istep=istep + 1, time=info.time)
-                log(f"wrote restart {fn}")
-        return state
+                    history_dir,
+                    f"iceh.{info.year:04d}-{info.month:02d}-"
+                    f"{info.mday:02d}-{info.sec:05d}.nc")
+                hist_mod.write_netcdf(history, m.grid, info, fn)
+                log(f"wrote history {fn}")
+
+        if restart_every and ((istep + 1) % restart_every == 0):
+            fn = os.path.join(
+                restart_dir,
+                f"iced.{info.year:04d}-{info.month:02d}-"
+                f"{info.mday:02d}-{info.sec:05d}.npz")
+            restart_mod.dump(state, fn, istep=istep + 1, time=info.time)
+            log(f"wrote restart {fn}")
+    return state

@@ -93,17 +93,27 @@ class ShardedModel:
     def init_state(self, **kw):
         return self.put(self.inner.init_state(**kw))
 
+    @property
+    def forcing_provider(self):
+        return self.inner.forcing_provider
+
+    @forcing_provider.setter
+    def forcing_provider(self, fn):
+        self.inner.forcing_provider = fn
+
     def forcing_at(self, istep: int):
         return self.put(self.inner.forcing_at(istep))
 
     def step(self, state, forcing):
         return self._jstep(state, forcing, self._grid_dev)
 
-    def run(self, state, nsteps: int, start_step: int = 0, log=print):
-        for k in range(nsteps):
-            state, diag = self.step(state,
-                                    self.forcing_at(start_step + k))
-        return state
+    def run(self, state, nsteps: int, **kw):
+        """Full driver loop — feature-equivalent to Model.run: runtime
+        diagnostics, history accumulation/write, restart dumps, and
+        check_state all work on the sharded state (gathers happen at the
+        numpy boundaries of the IO layer)."""
+        from cice5_tpu.driver.model import run_loop
+        return run_loop(self, state, nsteps, **kw)
 
     def gather(self, tree):
         """Bring a sharded pytree fully to host numpy (for IO)."""

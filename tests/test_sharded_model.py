@@ -49,3 +49,54 @@ class TestShardedModel:
         host = sm.gather(st)
         assert isinstance(host.aicen, np.ndarray)
         assert np.isfinite(host.aicen).all()
+
+
+class TestShardedDriver:
+    def test_run_with_history_restart_diags(self, tmp_path):
+        """ShardedModel.run is feature-equivalent to Model.run: diags,
+        history accumulation/write, restart dumps, and check_state all
+        operate on the sharded state (VERDICT r1 item 9)."""
+        import os
+        import cice5_tpu.io.history as hmod
+        from cice5_tpu.io import restart as restart_mod
+
+        cfg = _cfg()
+        sm = ShardedModel(cfg, mesh_shape=(2, 4))
+        st = sm.init_state(ice_mask=np.asarray(sm.grid.tmask))
+        fields = hmod.available_fields(cfg, sm.tr)
+        hs = hmod.HistoryStreams([hmod.HistoryStream(fields, freq="1",
+                                                     freq_n=1,
+                                                     suffix="inst")])
+        logs = []
+        st = sm.run(st, nsteps=2, diag_every=1, history=hs,
+                    history_dir=str(tmp_path / "hist"),
+                    restart_every=2, restart_dir=str(tmp_path / "rest"),
+                    check_every=1, log=logs.append)
+        assert any("area" in s for s in logs)          # runtime_diags ran
+        hist = [f for f in os.listdir(tmp_path / "hist")]
+        assert hist, "no history written from sharded run"
+        rest = [f for f in os.listdir(tmp_path / "rest")
+                if f.endswith(".npz")]
+        assert rest, "no restart written from sharded run"
+        # restart roundtrip: reload and continue one step
+        st2, meta = restart_mod.restore(str(tmp_path / "rest" / rest[0]))
+        st2 = sm.put(st2)
+        st3, _ = sm.step(st2, sm.forcing_at(2))
+        assert np.isfinite(np.asarray(st3.vicen)).all()
+
+    def test_data_forcing_provider(self):
+        """forcing_provider hook drives the sharded run from data."""
+        import dataclasses
+        from cice5_tpu.forcing_data import MonthlyForcing
+        cfg = _cfg()
+        sm = ShardedModel(cfg, mesh_shape=(2, 4))
+        ny, nx = cfg.grid.ny, cfg.grid.nx
+        Tair = 250.0 + 20.0 * np.sin(
+            (np.arange(12) + 0.5) / 12 * 2 * np.pi)[:, None, None] \
+            * np.ones((1, ny, nx))
+        ds = MonthlyForcing(fields={"Tair": Tair}, atm_data_type="ncar")
+        sm.forcing_provider = \
+            lambda istep, info: ds.forcing_at(info.yday, sm.grid)
+        st = sm.init_state(ice_mask=np.asarray(sm.grid.tmask))
+        st = sm.run(st, nsteps=2)
+        assert np.isfinite(np.asarray(st.vicen)).all()
