@@ -83,12 +83,24 @@ class ShardedModel:
         self._grid_dev = self.put(self.grid, self._in_specs[2])
 
     def put(self, tree, specs=None):
-        """device_put a pytree with the model's spatial sharding."""
+        """device_put a pytree with the model's spatial sharding.
+
+        Multi-host: every process holds the same global array (built
+        deterministically); make_array_from_callback slices out each
+        process's addressable shards (the scatter_global analog,
+        mpi/ice_gather_scatter.F90:968)."""
         specs = specs if specs is not None else jax.tree.map(spatial_spec,
                                                              tree)
-        return jax.tree.map(
-            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
-            tree, specs)
+        multihost = jax.process_count() > 1
+
+        def _put(x, s):
+            sh = NamedSharding(self.mesh, s)
+            if not multihost:
+                return jax.device_put(x, sh)
+            xn = np.asarray(x)
+            return jax.make_array_from_callback(xn.shape, sh,
+                                                lambda idx: xn[idx])
+        return jax.tree.map(_put, tree, specs)
 
     def init_state(self, **kw):
         return self.put(self.inner.init_state(**kw))
@@ -116,5 +128,7 @@ class ShardedModel:
         return run_loop(self, state, nsteps, **kw)
 
     def gather(self, tree):
-        """Bring a sharded pytree fully to host numpy (for IO)."""
-        return jax.tree.map(lambda x: np.asarray(x), tree)
+        """Bring a sharded pytree fully to host numpy (for IO); multi-host
+        arrays ride a process allgather (parallel/distributed.to_host)."""
+        from cice5_tpu.parallel.distributed import to_host
+        return jax.tree.map(to_host, tree)

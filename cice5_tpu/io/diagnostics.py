@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from cice5_tpu import constants as ct
+from cice5_tpu.parallel.distributed import to_host as _g
 
 
 class GlobalDiags(NamedTuple):
@@ -105,12 +106,12 @@ def check_state(state, grid, tr, nilyr, nslyr, istep=None, log=print):
     Host-side (call between steps, on gathered arrays)."""
     import numpy as np
     checks = [
-        ("aicen", np.asarray(state.aicen), -1e-6, 1.0 + 1e-6),
-        ("vicen", np.asarray(state.vicen), -1e-6, 100.0),
-        ("vsnon", np.asarray(state.vsnon), -1e-6, 50.0),
-        ("uvel", np.asarray(state.uvel), -5.0, 5.0),
-        ("vvel", np.asarray(state.vvel), -5.0, 5.0),
-        ("Tsfc", np.asarray(state.trcrn[:, tr.nt_Tsfc]), -100.0, 1e-6),
+        ("aicen", _g(state.aicen), -1e-6, 1.0 + 1e-6),
+        ("vicen", _g(state.vicen), -1e-6, 100.0),
+        ("vsnon", _g(state.vsnon), -1e-6, 50.0),
+        ("uvel", _g(state.uvel), -5.0, 5.0),
+        ("vvel", _g(state.vvel), -5.0, 5.0),
+        ("Tsfc", _g(state.trcrn[:, tr.nt_Tsfc]), -100.0, 1e-6),
     ]
     for name, arr, lo, hi in checks:
         bad = ~np.isfinite(arr) | (arr < lo) | (arr > hi)

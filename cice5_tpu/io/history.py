@@ -287,8 +287,9 @@ class HistoryStream:
         fl = self.groups.get(dims, [])
         if not fl:
             return None
+        from cice5_tpu.parallel.distributed import to_host
         inst = np.asarray([f.instantaneous for f in fl])
-        buf = np.asarray(self.buf[dims])
+        buf = to_host(self.buf[dims])
         avg = buf / max(self.nsamples, 1)
         ishape = (len(fl),) + (1,) * (buf.ndim - 1)
         return np.where(inst.reshape(ishape), buf, avg)
@@ -304,9 +305,14 @@ def write_netcdf(stream: HistoryStream, grid, info, path: str,
     (the io_netcdf/ice_history_write.F90 equivalent), incl. per-category
     (nc) and vertical (nkice/nksnow) variables."""
     from scipy.io import netcdf_file
+    from cice5_tpu.parallel.distributed import is_primary
     ny, nx = np.asarray(grid.hm).shape
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    # every process participates in the gather; only the primary writes
     data = {dims: stream.averages(dims) for dims in stream.groups}
+    if not is_primary():
+        stream.reset()
+        return path
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with netcdf_file(path, "w", version=2) as f:
         f.createDimension("time", None)
         f.createDimension("nj", ny)

@@ -25,9 +25,13 @@ POINTER_NAME = "ice.restart_file"
 def dump(state: State, path: str, *, istep: int, time: float,
          extra: dict | None = None, pointer_dir: str | None = None) -> str:
     """Write a restart file and update the pointer file."""
-    fields = {f.name: np.asarray(getattr(state, f.name))
+    from cice5_tpu.parallel.distributed import to_host
+    fields = {f.name: to_host(getattr(state, f.name))
               for f in dataclasses.fields(state)}
     meta = dict(istep=istep, time=time, version=1, **(extra or {}))
+    from cice5_tpu.parallel.distributed import is_primary
+    if not is_primary():       # gathers above are collective; one writer
+        return path
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez_compressed(path, __meta__=json.dumps(meta), **fields)
     pdir = pointer_dir or os.path.dirname(os.path.abspath(path))
