@@ -189,13 +189,17 @@ def run_loop(m, state, nsteps: int, start_step: int = 0,
                                 state, rest, m.topo)
         info = m.calendar.info(istep + 1, cfg.time.dt)
 
-        if check_every and (istep % check_every == 0):
-            from cice5_tpu.io.diagnostics import check_state
-            if not check_state(state, m.grid, m.tr, cfg.nilyr,
-                               cfg.nslyr, istep=istep, log=log):
-                raise RuntimeError(
-                    f"check_state failed at istep {istep} "
-                    "(see log for the offending cell dump)")
+        if check_every:
+            # the in-step flag is computed inside the jitted step every
+            # step (l_stop analog) — reading it costs one scalar sync
+            if int(diag.state_bad) > 0 or (istep % check_every == 0):
+                from cice5_tpu.io.diagnostics import check_state
+                if not check_state(state, m.grid, m.tr, cfg.nilyr,
+                                   cfg.nslyr, istep=istep, log=log):
+                    raise RuntimeError(
+                        f"check_state failed at istep {istep}: "
+                        f"{int(diag.state_bad)} bad state values "
+                        "(see log for the offending cell dump)")
 
         if diag_every and (istep % diag_every == 0):
             gd = diag_mod.compute_diags(state, m.grid, m.tr,

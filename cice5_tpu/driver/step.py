@@ -86,6 +86,8 @@ class StepDiag(NamedTuple):
     transport_mono_bad: jnp.ndarray      # 0 unless monotonicity_check
     fsurfn_ai: jnp.ndarray      # (ncat, ny, nx) ai-weighted sfc heat flux
     flatn_ai: jnp.ndarray       # (ncat, ny, nx) ai-weighted latent flux
+    state_bad: jnp.ndarray      # in-step l_stop analog: count of NaN/
+    # out-of-bounds state values after this step (0 = healthy)
     faero_ocn: jnp.ndarray   # (n_aero, ny, nx); empty when tr_aero off
     flux_bio: jnp.ndarray    # (nbtrcr, ny, nx) BGC flux to ocean; empty
     PP_net: jnp.ndarray      # net primary production (mg C/m^2/s)
@@ -677,6 +679,26 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         forcing.swvdr * (1.0 - alvdr) + forcing.swvdf * (1.0 - alvdf)
         + forcing.swidr * (1.0 - alidr) + forcing.swidf * (1.0 - alidf))
 
+    # in-step failure detection: the jitted analog of the reference's
+    # l_stop plumbing (ice_step_mod.F90:858-867 aborts with cell
+    # coordinates from inside physics). A cheap global reduction rides in
+    # the diag; the driver dumps the offending column host-side on trigger.
+    from cice5_tpu.parallel import global_sum
+
+    def _nbad(x, lo, hi, mask=None):
+        bad = ~jnp.isfinite(x) | (x < lo) | (x > hi)
+        if mask is not None:
+            bad = bad & mask
+        return global_sum(bad.astype(jnp.int32), topo)
+
+    has_ice_n = aicen > ct.puny
+    state_bad = (_nbad(aicen, -1e-6, 1.0 + 1e-6)
+                 + _nbad(vicen, -1e-6, 100.0)
+                 + _nbad(vsnon, -1e-6, 50.0)
+                 + _nbad(uvel, -5.0, 5.0) + _nbad(vvel, -5.0, 5.0)
+                 + _nbad(trcrn[:, tr.nt_Tsfc], -100.0, 1e-6,
+                         mask=has_ice_n)).astype(jnp.int32)
+
     new_state = state.replace(
         aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
         uvel=uvel, vvel=vvel, a11n=a11n, a12n=a12n,
@@ -703,6 +725,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         transport_mono_bad=mono_bad,
         fsurfn_ai=w * tres.fsurfn,
         flatn_ai=w * tres.flatn,
+        state_bad=state_bad,
         faero_ocn=(faero_ocn if tcfg.tr_aero
                    else jnp.zeros((0, ny, nx), dtype)),
         flux_bio=(flux_bio if tcfg.skl_bgc

@@ -70,32 +70,38 @@ class Grid:
         return self.hm.shape
 
 
-def _shift(a: np.ndarray, di: int, dj: int, cyclic_x: bool) -> np.ndarray:
-    """a[j + dj, i + di] with edge replication in y and (optionally) cyclic x."""
+def _shift(a: np.ndarray, di: int, dj: int, cyclic_x: bool,
+           edge: str = "replicate") -> np.ndarray:
+    """a[j + dj, i + di] with edge replication (or linear extrapolation,
+    the ice_HaloExtrapolate semantics) in y and (optionally) cyclic x."""
     out = np.roll(a, (-dj, -di), axis=(0, 1))
+    ex = edge == "extrapolate"
     if dj > 0:
-        out[-dj:, :] = a[-1:, :]
+        out[-dj:, :] = (2.0 * a[-1:, :] - a[-2:-1, :]) if ex else a[-1:, :]
     elif dj < 0:
-        out[:-dj, :] = a[:1, :]
+        out[:-dj, :] = (2.0 * a[:1, :] - a[1:2, :]) if ex else a[:1, :]
     if not cyclic_x:
         if di > 0:
-            out[:, -di:] = a[:, -1:]
+            out[:, -di:] = (2.0 * a[:, -1:] - a[:, -2:-1]) if ex \
+                else a[:, -1:]
         elif di < 0:
-            out[:, :-di] = a[:, :1]
+            out[:, :-di] = (2.0 * a[:, :1] - a[:, 1:2]) if ex else a[:, :1]
     return out
 
 
 def _tlatlon(ulat: np.ndarray, ulon: np.ndarray, cyclic_x: bool):
     """T-point lat/lon as the Cartesian mean of the 4 surrounding U corners
-    (ice_grid.F90 Tlatlon)."""
+    (ice_grid.F90 Tlatlon). Edge ghosts use the linear extrapolation the
+    reference applies to ULAT/ULON before Tlatlon (ice_HaloExtrapolate,
+    ice_grid.F90:780-816)."""
     z = np.sin(ulat)
     x = np.cos(ulon) * np.cos(ulat)
     y = np.sin(ulon) * np.cos(ulat)
 
     def corner_avg(q):
-        return 0.25 * (q + _shift(q, -1, 0, cyclic_x)
-                       + _shift(q, 0, -1, cyclic_x)
-                       + _shift(q, -1, -1, cyclic_x))
+        return 0.25 * (q + _shift(q, -1, 0, cyclic_x, "extrapolate")
+                       + _shift(q, 0, -1, cyclic_x, "extrapolate")
+                       + _shift(q, -1, -1, cyclic_x, "extrapolate"))
 
     tx, ty, tz = corner_avg(x), corner_avg(y), corner_avg(z)
     da = np.sqrt(tx * tx + ty * ty + tz * tz)

@@ -167,11 +167,19 @@ def _tripole_ghost(f, topo: Topology, loc: FieldLoc, kind: FieldType):
 
 def extend(f: jnp.ndarray, topo: Topology,
            loc: FieldLoc = FieldLoc.CENTER,
-           kind: FieldType = FieldType.SCALAR) -> jnp.ndarray:
-    """Add a 1-cell ghost ring: (..., ny, nx) -> (..., ny+2, nx+2)."""
+           kind: FieldType = FieldType.SCALAR,
+           open_fill: str = "zero") -> jnp.ndarray:
+    """Add a 1-cell ghost ring: (..., ny, nx) -> (..., ny+2, nx+2).
+
+    open_fill: what non-cyclic (open/closed) global-boundary ghosts hold —
+    "zero" (the ice_HaloUpdate default fill) or "extrapolate" (linear
+    ghost = 2*edge - inner, the ice_HaloExtrapolate semantics used for
+    grid variables and regional-domain stencils,
+    mpi/ice_boundary.F90:7070-7172)."""
     tripole = topo.ns in ("tripole", "tripoleT")
     cyc_x = topo.ew == "cyclic"
     cyc_y = topo.ns == "cyclic"
+    extrap = open_fill == "extrapolate"
 
     if tripole:
         # fold ghost row (interior width), before x-extension
@@ -188,12 +196,21 @@ def extend(f: jnp.ndarray, topo: Topology,
     # --- extend in x ---
     west_edge = f[..., :, -1:]   # what my west ghost should hold if cyclic+unsharded
     east_edge = f[..., :, :1]
+    w_ext = 2.0 * f[..., :, :1] - f[..., :, 1:2]     # extrapolated west ghost
+    e_ext = 2.0 * f[..., :, -1:] - f[..., :, -2:-1]
     if topo.axis_x is not None:
         wvals = _pshift(f[..., :, -1:], topo.axis_x, +1, cyc_x)
         evals = _pshift(f[..., :, :1], topo.axis_x, -1, cyc_x)
+        if extrap and not cyc_x:
+            ix = lax.axis_index(topo.axis_x)
+            npx = lax.axis_size(topo.axis_x)
+            wvals = jnp.where(ix == 0, w_ext, wvals)
+            evals = jnp.where(ix == npx - 1, e_ext, evals)
     else:
         if cyc_x:
             wvals, evals = west_edge, east_edge
+        elif extrap:
+            wvals, evals = w_ext, e_ext
         else:
             wvals = jnp.zeros_like(west_edge)
             evals = jnp.zeros_like(east_edge)
@@ -202,12 +219,21 @@ def extend(f: jnp.ndarray, topo: Topology,
     # --- extend in y (full extended rows -> corners ride along) ---
     south_row = fx[..., -1:, :]
     north_row = fx[..., :1, :]
+    s_ext = 2.0 * fx[..., :1, :] - fx[..., 1:2, :]
+    n_ext = 2.0 * fx[..., -1:, :] - fx[..., -2:-1, :]
     if topo.axis_y is not None:
         svals = _pshift(fx[..., -1:, :], topo.axis_y, +1, cyc_y)
         nvals = _pshift(fx[..., :1, :], topo.axis_y, -1, cyc_y)
+        if extrap and not cyc_y and not tripole:
+            iy = lax.axis_index(topo.axis_y)
+            npy = lax.axis_size(topo.axis_y)
+            svals = jnp.where(iy == 0, s_ext, svals)
+            nvals = jnp.where(iy == npy - 1, n_ext, nvals)
     else:
         if cyc_y:
             svals, nvals = south_row, north_row
+        elif extrap and not tripole:
+            svals, nvals = s_ext, n_ext
         else:
             svals = jnp.zeros_like(south_row)
             nvals = jnp.zeros_like(north_row)
