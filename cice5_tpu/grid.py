@@ -247,10 +247,83 @@ def popgrid(cfg: ModelConfig) -> Grid:
                       data["HTE"], data["ANGLE"], data["kmt"])
 
 
+SENTINEL = 1.0e36      # latlongrid metric sentinel (ice_grid.F90:1118-1131)
+
+
+def latlongrid(cfg: ModelConfig, tlat_deg, tlon_deg, tarea_rad2,
+               mask) -> Grid:
+    """CESM/CAM latitude-longitude grid for thermodynamics-only runs
+    (ice_grid.F90:876-1141 latlongrid): TLON/TLAT + cell areas from a CESM
+    domain file; the U grid is unused (metrics are 1e36 sentinels, so
+    dynamics MUST be off — kdyn=0), ULAT is TLAT shifted by half a row so
+    default initialization finds ice.
+    """
+    ny, nx = np.asarray(tlat_deg).shape
+    dtype = cfg.xp_dtype
+    tlat = np.deg2rad(np.asarray(tlat_deg, np.float64))
+    tlon = np.deg2rad(np.asarray(tlon_deg, np.float64))
+    tarea = np.asarray(tarea_rad2, np.float64) * ct.radius ** 2
+    hm = (np.asarray(mask) >= 0.5).astype(np.float64)
+
+    sh = lambda a, di, dj: _shift(a, di, dj, False)
+    if ny == 1:
+        uarea = tarea.copy()
+        ulat = tlat.copy()
+    else:
+        uarea = 0.25 * (tarea + sh(tarea, 1, 0) + sh(tarea, 0, 1)
+                        + sh(tarea, 1, 1))
+        ulat = tlat + np.pi / ny
+    uvm = np.minimum.reduce([hm, sh(hm, 1, 0), sh(hm, 0, 1), sh(hm, 1, 1)])
+    z = np.zeros((ny, nx))
+    big = np.full((ny, nx), SENTINEL)
+    cast = lambda a: jnp.asarray(a, dtype)
+    lmask_n = ulat >= -ct.puny
+    return Grid(
+        ULAT=cast(ulat), ULON=cast(z), TLAT=cast(tlat), TLON=cast(tlon),
+        HTN=cast(big), HTE=cast(big), dxt=cast(big), dyt=cast(big),
+        dxu=cast(big), dyu=cast(big), tarea=cast(tarea), uarea=cast(uarea),
+        tarear=cast(1.0 / tarea), uarear=cast(1.0 / uarea),
+        tinyarea=cast(ct.puny * tarea),
+        dxhy=cast(big), dyhx=cast(big), cxp=cast(big), cyp=cast(big),
+        cxm=cast(big), cym=cast(big), ANGLE=cast(z), ANGLET=cast(z),
+        hm=cast(hm), uvm=cast(uvm),
+        tmask=jnp.asarray(hm > 0.5), umask=jnp.asarray(uvm > 0.5),
+        tarean=cast(np.where(lmask_n, tarea * hm, 0.0)),
+        tareas=cast(np.where(~lmask_n, tarea * hm, 0.0)),
+        fcor=cast(2.0 * ct.omega * np.sin(ulat)))
+
+
+def gridbox_corners(grid) -> tuple:
+    """Per-cell corner longitudes/latitudes for history cell bounds
+    (ice_grid.F90:1972-2121 gridbox_corners): corner order NE, NW, SW, SE
+    from the U (NE-corner) coordinates. Returns (lont_bounds,
+    latt_bounds) each (4, ny, nx) in degrees."""
+    ulat = np.rad2deg(np.asarray(grid.ULAT))
+    ulon = np.rad2deg(np.asarray(grid.ULON))
+    sh = lambda a, di, dj: _shift(a, di, dj, True)
+    latb = np.stack([ulat, sh(ulat, -1, 0), sh(ulat, -1, -1),
+                     sh(ulat, 0, -1)])
+    lonb = np.stack([ulon, sh(ulon, -1, 0), sh(ulon, -1, -1),
+                     sh(ulon, 0, -1)])
+    return lonb, latb
+
+
 def make_grid(cfg: ModelConfig, **kw) -> Grid:
     t = cfg.grid.grid_type
     if t in ("rectangular", "column"):
         return rectgrid(cfg, **kw)
     if t in ("displaced_pole", "tripole"):
         return popgrid(cfg)
+    if t == "latlon":
+        from cice5_tpu.io import readers
+        g = cfg.grid
+        d = readers.read_latlon_domain(g.grid_file or g.kmt_file)
+        return latlongrid(cfg, d["yc"], d["xc"], d["area"], d["mask"])
+    if t == "cpom":
+        from cice5_tpu.io import readers
+        g = cfg.grid
+        data = readers.read_cpom_grid_binary(g.grid_file, g.kmt_file,
+                                             g.nx, g.ny)
+        return popgrid_np(cfg, data["ULAT"], data["ULON"], data["HTN"],
+                          data["HTE"], data["ANGLE"], data["kmt"])
     raise NotImplementedError(f"grid_type={t}")

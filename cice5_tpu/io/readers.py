@@ -87,6 +87,40 @@ def read_netcdf_field(path: str, varname: str, record: int | None = None):
         return np.array(data)
 
 
+def read_cpom_grid_binary(grid_file: str, kmt_file: str, nx: int, ny: int):
+    """CPOM regional grid (ice_grid.F90:1313-1396 cpomgrid): same record
+    layout as POP binary but ULAT/ULON in DEGREES and HTN/HTE in METERS.
+    Returns the read_pop_grid_binary dict layout (radians / meters)."""
+    n = nx * ny
+    raw = np.fromfile(grid_file, dtype=">f8")
+    nrec = raw.size // n
+    rec = lambda k: raw[k * n:(k + 1) * n].reshape(ny, nx)
+    out = {
+        "ULAT": np.deg2rad(rec(0)),
+        "ULON": np.deg2rad(rec(1)),
+        "HTN": rec(2),            # already meters
+        "HTE": rec(3),
+    }
+    out["ANGLE"] = rec(6) if nrec >= 7 else np.zeros((ny, nx))
+    kraw = np.fromfile(kmt_file, dtype=">i4")
+    out["kmt"] = kraw[:n].reshape(ny, nx)
+    return out
+
+
+def read_latlon_domain(path: str):
+    """CESM domain file for latlongrid (ice_grid.F90:876-1141): xc/yc cell
+    centers (degrees), area (radians^2), mask (1=ocean). 1-D xc/yc are
+    broadcast to 2-D."""
+    out = {}
+    for name in ("xc", "yc", "area", "mask"):
+        out[name] = np.asarray(read_netcdf_field(path, name), np.float64)
+    if out["xc"].ndim == 1:
+        nx, ny = out["xc"].size, out["yc"].size
+        out["xc"] = np.broadcast_to(out["xc"][None, :], (ny, nx)).copy()
+        out["yc"] = np.broadcast_to(out["yc"][:, None], (ny, nx)).copy()
+    return out
+
+
 def read_pop_grid_nc(grid_file: str, kmt_file: str | None = None,
                      varmap: dict | None = None):
     """Read a POP grid from netCDF (ice_grid.F90:659-874 popgrid_nc).

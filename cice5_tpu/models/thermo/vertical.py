@@ -437,6 +437,13 @@ def thermo_vertical(dt, cfg, *, aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
     worki, works = hin, hsn
 
     if th.ktherm == 2:
+        # NOTE calc_Tsfc=False semantics: the reference's mushy solver has
+        # no prescribed-flux matrix variant — thermo_vertical calls
+        # temperature_changes_salinity unconditionally and the coupler's
+        # fsurfn_f/fcondtopn_f are simply not consumed by the solver
+        # (ice_therm_vertical.F90:316-343; only BL99 has the know-Tsfc
+        # matrices, ice_therm_bl99.F90:1484). We reproduce that behavior
+        # exactly: mushy + calc_Tsfc=False solves its own surface.
         from cice5_tpu.models.thermo import mushy as mushy_mod
         if hpond is None:
             hpond = jnp.zeros_like(Tsf)
@@ -499,9 +506,6 @@ def thermo_vertical(dt, cfg, *, aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
         einit = (jnp.sum(hslyr[None] * r.zqsn, axis=0)
                  + jnp.sum(hilyr[None] * r.zqin, axis=0))
     else:
-        if not th.calc_Tsfc and th.ktherm == 2:
-            raise NotImplementedError(
-                "calc_Tsfc=False is implemented for the BL99 path only")
         r = bl99.temperature_changes(
             dt, nilyr=nilyr, nslyr=nslyr, conduct=th.conduct, ksno=th.ksno,
             l_brine=l_brine, mask=mask, rhoa=rhoa, flw=flw, potT=potT, Qa=Qa,

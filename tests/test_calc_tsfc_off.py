@@ -98,3 +98,38 @@ class TestStepCalcTsfcOff:
         assert bool(diag.therm_converged)
         # upward conduction in winter: ice grows at the bottom
         assert float(jnp.max(diag.congel)) > 0.0
+
+
+class TestMushyCalcTsfcOff:
+    def test_mushy_ignores_prescribed_fluxes_like_reference(self):
+        """ktherm=2 + calc_Tsfc=False: the reference has no prescribed-flux
+        mushy matrices — temperature_changes_salinity runs unconditionally
+        and the coupler fluxes are not consumed by the solver
+        (ice_therm_vertical.F90:316-343). The step must run and produce
+        the SAME thermo state as calc_Tsfc=True."""
+        from cice5_tpu.config import rect_config
+        from cice5_tpu.driver.model import Model
+        base = rect_config()
+        base = base.replace(
+            grid=dataclasses.replace(base.grid, ny=12, nx=16),
+            thermo=dataclasses.replace(base.thermo, ktherm=2),
+            dyn=dataclasses.replace(base.dyn, ndte=8))
+        cfg_on = base
+        cfg_off = base.replace(
+            thermo=dataclasses.replace(base.thermo, ktherm=2,
+                                       calc_Tsfc=False))
+        m_on = Model(cfg_on)
+        m_off = Model(cfg_off)
+        st = m_on.init_state(ice_mask=np.asarray(m_on.grid.tmask))
+        ncat, (ny, nx) = base.ncat, m_on.grid.shape
+        fc = lambda v: jnp.full((ncat, ny, nx), float(v), jnp.float32)
+        f_on = m_on.forcing_at(0)
+        f_off = f_on.replace(fsurfn_f=fc(-30.0), fcondtopn_f=fc(-30.0),
+                             flatn_f=fc(-2.0), fsensn_f=fc(-10.0))
+        st_on, d_on = m_on.step(st, f_on)
+        st_off, d_off = m_off.step(st, f_off)
+        np.testing.assert_allclose(np.asarray(st_off.vicen),
+                                   np.asarray(st_on.vicen), atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(st_off.trcrn[:, m_on.tr.nt_Tsfc]),
+            np.asarray(st_on.trcrn[:, m_on.tr.nt_Tsfc]), atol=1e-5)
