@@ -155,6 +155,23 @@ class Model:
         history accumulation/write + restart dumps."""
         return run_loop(self, state, nsteps, **kw)
 
+    def profile(self, state: State, nsteps: int = 3,
+                outdir: str = "/tmp/cice5_profile") -> str:
+        """Capture an xprof/TensorBoard trace of nsteps (the
+        tracing/profiling subsystem of SURVEY §5 — the ice_timers +
+        Score-P analog). Compiles outside the trace window; analyze the
+        resulting .xplane.pb with xprof hlo_stats (per-op self time,
+        source attribution, roofline bound) or TensorBoard."""
+        import jax
+        f = self.forcing_at(0)
+        s, _ = self.step(state, f)
+        jax.block_until_ready(s.aicen)
+        with jax.profiler.trace(outdir):
+            for _ in range(nsteps):
+                s, _ = self.step(s, f)
+            jax.block_until_ready(s.aicen)
+        return outdir
+
 
 def run_loop(m, state, nsteps: int, start_step: int = 0,
              diag_every: int = 0, diag_fn=None, history=None,

@@ -174,8 +174,9 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                 hs0=cfg.tracers.hs0, hs1=cfg.tracers.hs1,
                 pndaspect=cfg.tracers.pndaspect, pond_scheme=pond_scheme)
 
-        de = jax.vmap(rad_one_dedd)(aicen, vicen, vsnon, Tsfcn, apnd_r,
-                                    hpnd_r)
+        with jax.named_scope("sw_radiation_dEdd"):
+            de = jax.vmap(rad_one_dedd)(aicen, vicen, vsnon, Tsfcn,
+                                        apnd_r, hpnd_r)
         from cice5_tpu.models.radiation.ccsm3 import Albedos, AbsorbedSolar
         zc = jnp.zeros_like(aicen)
         alb = Albedos(alvdrn=de.alvdrn, alidrn=de.alidrn, alvdfn=de.alvdfn,
@@ -198,7 +199,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                 albsnowi=sw.albsnowi, ahmax=sw.ahmax,
                 heat_capacity=cfg.thermo.ktherm != 0)
 
-        alb, absr = jax.vmap(rad_one)(aicen, vicen, vsnon, Tsfcn)
+        with jax.named_scope("sw_radiation_ccsm3"):
+            alb, absr = jax.vmap(rad_one)(aicen, vicen, vsnon, Tsfcn)
         Sswabsn = jnp.zeros((ncat, nslyr, ny, nx), dtype)
 
     # ---------------- bottom flux & lateral melt potential --------------
@@ -262,10 +264,11 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
             return therm_one(aic, vic, vsn, tsf, zqi, zqs, zsi, fswsfc,
                              fswint, Iswabs, Sswabs, hpnd_in, apnd_in)
 
-        tres, strairxn, strairyn = jax.vmap(therm_wrap)(
-            aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
-            absr.fswsfc, absr.fswint, absr.Iswabs, Sswabsn, hpnd_all,
-            apnd_all)
+        with jax.named_scope("vertical_thermo"):
+            tres, strairxn, strairyn = jax.vmap(therm_wrap)(
+                aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
+                absr.fswsfc, absr.fswint, absr.Iswabs, Sswabsn, hpnd_all,
+                apnd_all)
     else:
         # coupled mode: per-category surface fluxes from the coupler
         # (set_sfcflux, ice_flux.F90:1015)
@@ -344,7 +347,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         # -> (na, 2, ncat, ny, nx) so species lead and ncat is a batch dim
         asno = jnp.moveaxis(asno, 0, 2)
         aice_st = jnp.moveaxis(aice_st, 0, 2)
-        faero_atm = faero_default(na, (ny, nx), dtype)
+        faero_atm = (forcing.faero_atm if forcing.faero_atm is not None
+                     else faero_default(na, (ny, nx), dtype))
         ares = update_aerosol(
             dt, meltt=tres.meltt, melts=tres.melts, meltb=tres.meltb,
             congel=tres.congel, snoice=tres.snoice,
@@ -453,7 +457,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
             b0 = tr.nt_bgc[0]
             nb = tr.nbtrcr
             conc = jnp.moveaxis(trcrn[:, b0:b0 + nb], 1, 0)  # (nb, ncat,...)
-            ob = algae.default_ocean_bio(tr, (ny, nx), dtype)[:, None]
+            ob = (forcing.ocean_bio if forcing.ocean_bio is not None
+                  else algae.default_ocean_bio(tr, (ny, nx), dtype))[:, None]
             sk = algae.skl_biogeochemistry(
                 dt, tr, conc=conc, ocean_bio=ob, aicen=aicen,
                 meltb=tres.meltb, congel=tres.congel,
@@ -501,8 +506,9 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     fhocn = fhocn + lm.fhocn
     meltl = lm.meltl
 
-    cl = itd.cleanup_itd(dt, tr, hin_max, nilyr, nslyr, aicen=aicen,
-                         vicen=vicen, vsnon=vsnon, trcrn=trcrn)
+    with jax.named_scope("cleanup_itd"):
+        cl = itd.cleanup_itd(dt, tr, hin_max, nilyr, nslyr, aicen=aicen,
+                             vicen=vicen, vsnon=vsnon, trcrn=trcrn)
     aicen, vicen, vsnon, trcrn = cl.aicen, cl.vicen, cl.vsnon, cl.trcrn
     fresh = fresh + cl.dfresh
     fsalt = fsalt + cl.dfsalt

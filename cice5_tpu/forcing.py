@@ -60,6 +60,12 @@ class Forcing:
     fcondtopn_f: jnp.ndarray | None = None
     flatn_f: jnp.ndarray | None = None
     fsensn_f: jnp.ndarray | None = None
+    # atmospheric aerosol deposition (n_aero, ny, nx) — faero_data
+    # (ice_aerosol.F90:71); None = the faero_default constants
+    faero_atm: jnp.ndarray | None = None
+    # ocean biogeochemical concentrations (nbtrcr, ny, nx) —
+    # get_forcing_bgc (ice_algae.F90:46); None = default_ocean_bio
+    ocean_bio: jnp.ndarray | None = None
 
 
 def Tf_from_sss(sss):

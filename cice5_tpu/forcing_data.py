@@ -444,3 +444,28 @@ class OcnClimForcing:
         m1, m2, c1, c2 = interp_coeff_monthly(yday, self.days_per_year)
         return {k: c1 * v[m1] + c2 * v[m2]
                 for k, v in self._fields.items()}
+
+
+@dataclasses.dataclass
+class AeroBgcForcing:
+    """Monthly aerosol deposition and ocean BGC concentration forcing
+    (faero_data, ice_aerosol.F90:71-163; get_forcing_bgc + ocean nitrate
+    climatology, ice_algae.F90:46-130): mid-month bracketed (12, n, ny, nx)
+    records attached onto a Forcing via its faero_atm/ocean_bio fields
+    (the step falls back to faero_default/default_ocean_bio when absent).
+    """
+    faero: np.ndarray | None = None       # (12, n_aero, ny, nx) kg/m^2/s
+    ocean_bio: np.ndarray | None = None   # (12, nbtrcr, ny, nx) mmol/m^3
+    days_per_year: int = 365
+
+    def attach(self, forcing: Forcing, yday: float,
+               dtype=jnp.float32) -> Forcing:
+        m1, m2, c1, c2 = interp_coeff_monthly(yday, self.days_per_year)
+        kw = {}
+        if self.faero is not None:
+            kw["faero_atm"] = jnp.asarray(
+                c1 * self.faero[m1] + c2 * self.faero[m2], dtype)
+        if self.ocean_bio is not None:
+            kw["ocean_bio"] = jnp.asarray(
+                c1 * self.ocean_bio[m1] + c2 * self.ocean_bio[m2], dtype)
+        return forcing.replace(**kw) if kw else forcing

@@ -187,3 +187,55 @@ class TestOcnClim:
                                    atol=0.02)
         np.testing.assert_allclose(raw["sss"][0, 0], 33.0 + 0.1 * 6,
                                    atol=0.02)
+
+
+class TestAeroBgcForcing:
+    def test_aerosol_deposition_reaches_tracers(self):
+        """faero_data analog (ice_aerosol.F90:71): monthly deposition
+        attached to the Forcing drives the aerosol tracers."""
+        import dataclasses
+        import jax.numpy as jnp
+        from cice5_tpu.driver.model import Model
+        from cice5_tpu.forcing_data import AeroBgcForcing
+        cfg = rect_config(ny=8, nx=12)
+        cfg = cfg.replace(
+            tracers=dataclasses.replace(cfg.tracers, tr_aero=True,
+                                        n_aero=1),
+            dyn=dataclasses.replace(cfg.dyn, ndte=8))
+        m = Model(cfg)
+        st = m.init_state(ice_mask=np.asarray(m.grid.tmask))
+        # deposition peaking in month 6
+        dep = np.zeros((12, 1, 8, 12))
+        dep[:, 0] = 1e-11
+        dep[6, 0] = 1e-9
+        ds = AeroBgcForcing(faero=dep)
+        f0 = ds.attach(m.forcing_at(0), 15.0)    # January
+        f6 = ds.attach(m.forcing_at(0), 197.5)   # mid-July
+        np.testing.assert_allclose(np.asarray(f6.faero_atm), 1e-9,
+                                   rtol=1e-5)
+        st1, _ = m.step(st, f6)
+        a0 = m.tr.nt_aero
+        aero1 = np.asarray(st1.trcrn[:, a0:a0 + 4]).sum()
+        st0, _ = m.step(st, f0)
+        aero0 = np.asarray(st0.trcrn[:, a0:a0 + 4]).sum()
+        assert aero1 > aero0 * 10      # summer deposition dominates
+
+    def test_ocean_bio_attach(self):
+        import dataclasses
+        import jax.numpy as jnp
+        from cice5_tpu.driver.model import Model
+        from cice5_tpu.forcing_data import AeroBgcForcing
+        cfg = rect_config(ny=8, nx=12)
+        cfg = cfg.replace(
+            tracers=dataclasses.replace(cfg.tracers, skl_bgc=True,
+                                        tr_brine=True),
+            dyn=dataclasses.replace(cfg.dyn, ndte=8))
+        m = Model(cfg)
+        nb = m.tr.nbtrcr
+        ob = np.full((12, nb, 8, 12), 5.0)
+        ds = AeroBgcForcing(ocean_bio=ob)
+        f = ds.attach(m.forcing_at(0), 100.0)
+        assert f.ocean_bio.shape == (nb, 8, 12)
+        st = m.init_state(ice_mask=np.asarray(m.grid.tmask))
+        st1, diag = m.step(st, f)
+        assert np.isfinite(np.asarray(st1.trcrn)).all()
