@@ -128,14 +128,43 @@ def _tune(kmn, wmn, Rtune, fp, fm):
     return k, sigp / k
 
 
+# present-epoch (1990) orbital parameters — what shr_orb_params computes
+# from the Berger-1978 secular series at iyear_AD=1990
+# (csm_share/shr_orb_mod.F90; values are the CESM standard set)
+ORB_ECCEN = 0.016715      # eccentricity
+ORB_OBLIQR = 0.409215     # obliquity (radians)
+ORB_LAMBM0 = -0.032437    # mean longitude of perihelion at v.e. (rad)
+ORB_MVELPP = 4.937458     # moving vernal equinox long. of perihelion + pi
+
+VE_DAY = 80.5             # calendar day of the vernal equinox (shr_orb)
+
+
+def shr_orb_decl(calday, eccen=ORB_ECCEN, obliqr=ORB_OBLIQR,
+                 lambm0=ORB_LAMBM0, mvelpp=ORB_MVELPP):
+    """Solar declination + earth-sun distance factor for an elliptical
+    orbit (csm_share/shr_orb_mod.F90 shr_orb_decl; ice_orbital.F90 uses
+    this through compute_coszen). Returns (declin [rad], eccf = (r0/r)^2).
+    """
+    lambm = lambm0 + (calday - VE_DAY) * 2.0 * ct.pi / 365.0
+    lmm = lambm - mvelpp
+    sinl = jnp.sin(lmm)
+    lamb = lambm + eccen * (
+        2.0 * sinl + eccen * (1.25 * jnp.sin(2.0 * lmm)
+                              + eccen * ((13.0 / 12.0) * jnp.sin(3.0 * lmm)
+                                         - 0.25 * sinl)))
+    invrho = (1.0 + eccen * jnp.cos(lamb - mvelpp)) / (1.0 - eccen ** 2)
+    declin = jnp.arcsin(jnp.sin(obliqr) * jnp.sin(lamb))
+    return declin, invrho ** 2
+
+
 def solar_declination(yday):
-    """Solar declination (radians): simple obliquity formula (the
-    shr_orb_decl equivalent for a circular orbit)."""
-    return -0.409105 * jnp.cos(2.0 * ct.pi * (yday + 10.0) / 365.0)
+    """Solar declination (radians) from the elliptical-orbit solution."""
+    return shr_orb_decl(yday)[0]
 
 
 def compute_coszen(tlat, tlon, yday, sec):
-    """Cosine solar zenith angle (ice_orbital.F90:63-143)."""
+    """Cosine solar zenith angle (ice_orbital.F90:63-143 compute_coszen,
+    declination from shr_orb_decl)."""
     delta = solar_declination(yday)
     hour_angle = (sec / ct.secday - 0.5) * 2.0 * ct.pi + tlon
     return (jnp.sin(tlat) * jnp.sin(delta)
