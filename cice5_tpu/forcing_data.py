@@ -167,6 +167,8 @@ def build_forcing(raw, yday, grid, *, dtype=jnp.float32, defaults=None,
         flw=(jnp.asarray(raw["flw"], dtype) if "flw" in raw else None),
         fsnow=(jnp.asarray(raw["fsnow"], dtype)
                if "fsnow" in raw else None),
+        frain=(jnp.asarray(raw["frain"], dtype)
+               if "frain" in raw else None),
         Tsfc=Tsfc, sst=sst, aice=aice,
         atm_data_type=atm_data_type,
         precip_units=precip_units,
@@ -469,3 +471,69 @@ class AeroBgcForcing:
             kw["ocean_bio"] = jnp.asarray(
                 c1 * self.ocean_bio[m1] + c2 * self.ocean_bio[m2], dtype)
         return forcing.replace(**kw) if kw else forcing
+
+
+def hadgem_files(data_dir: str, yr: int) -> dict:
+    """HadGEM monthly netCDF layout (hadgem_files,
+    ice_forcing.F90:2400-2520); field -> (path, netcdf variable)."""
+    d = data_dir.rstrip("/")
+    fy = lambda nm: file_year(f"{d}/MONTHLY/{nm}.1996.nc", yr)
+    return {
+        "frain": (fy("rainfall"), "rainfall"),
+        "fsnow": (fy("snowfall"), "snowfall"),
+        "uatm": (fy("u_10"), "u_10"),
+        "vatm": (fy("v_10"), "v_10"),
+        "fsw": (fy("SW_incoming"), "SW_incoming"),
+        "flw": (fy("LW_incoming"), "LW_incoming"),
+        "Tair": (fy("t_10"), "t_10"),
+        "Qa": (fy("q_10"), "q_10"),
+        "rhoa": (fy("rho_10"), "rho_10"),
+    }
+
+
+@dataclasses.dataclass
+class HadgemForcing:
+    """HadGEM/HadGAM monthly netCDF forcing (hadgem_data,
+    ice_forcing.F90:2528-2820): all fields monthly, mid-month bracketed,
+    rain+snow provided separately, longwave read directly (no
+    parameterization). Multi-year cycling as FileForcing."""
+    data_dir: str
+    fyear_init: int = 1997
+    ycycle: int = 1
+    year_init: int = 1997
+    days_per_year: int = 365
+
+    def __post_init__(self):
+        self._cache: dict = {}
+
+    def fyear(self, model_year: int) -> int:
+        return self.fyear_init + (model_year - self.year_init) % self.ycycle
+
+    def _read(self, name: str, yr: int, rec: int) -> np.ndarray:
+        key = (name, yr, rec)
+        if key not in self._cache:
+            path, var = hadgem_files(self.data_dir, yr)[name]
+            self._cache[key] = np.asarray(
+                read_netcdf_field(path, var, rec), np.float64)
+            if len(self._cache) > 64:
+                self._cache.pop(next(iter(self._cache)))
+        return self._cache[key]
+
+    def raw_at(self, yday: float, model_year: int) -> dict:
+        m1, m2, c1, c2 = interp_coeff_monthly(yday, self.days_per_year)
+        y1 = y2 = self.fyear(model_year)
+        if m1 == 11 and m2 == 0:
+            if yday < 31:
+                y1 = self.fyear(model_year - 1)
+            else:
+                y2 = self.fyear(model_year + 1)
+        return {nm: c1 * self._read(nm, y1, m1) + c2 * self._read(nm, y2, m2)
+                for nm in hadgem_files(self.data_dir, y1)}
+
+    def forcing_at(self, yday: float, model_year: int, grid,
+                   dtype=jnp.float32) -> Forcing:
+        raw = {k: jnp.asarray(v, dtype)
+               for k, v in self.raw_at(yday, model_year).items()}
+        return build_forcing(raw, yday, grid, dtype=dtype,
+                             atm_data_type="hadgem", precip_units="mks",
+                             days_per_year=self.days_per_year)

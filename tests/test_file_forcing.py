@@ -239,3 +239,35 @@ class TestAeroBgcForcing:
         st = m.init_state(ice_mask=np.asarray(m.grid.tmask))
         st1, diag = m.step(st, f)
         assert np.isfinite(np.asarray(st1.trcrn)).all()
+
+
+class TestHadgemLayout:
+    def test_monthly_nc_tree(self, tmp_path):
+        from scipy.io import netcdf_file
+        from cice5_tpu.forcing_data import HadgemForcing, hadgem_files
+        vals = {"rainfall": 1e-5, "snowfall": 2e-5, "u_10": 3.0,
+                "v_10": -1.0, "SW_incoming": 120.0, "LW_incoming": 260.0,
+                "t_10": 265.0, "q_10": 0.002, "rho_10": 1.3}
+        files = hadgem_files(str(tmp_path), 1996)
+        os.makedirs(str(tmp_path / "MONTHLY"), exist_ok=True)
+        for name, (path, var) in files.items():
+            with netcdf_file(path, "w") as f:
+                f.createDimension("time", 12)
+                f.createDimension("nj", NY)
+                f.createDimension("ni", NX)
+                v = f.createVariable(var, "d", ("time", "nj", "ni"))
+                v[:] = vals[var] * (1.0 + 0.1 * np.arange(12)
+                                    )[:, None, None] * np.ones((1, NY, NX))
+        ds = HadgemForcing(str(tmp_path), fyear_init=1996, year_init=1996)
+        cfg = rect_config(ny=NY, nx=NX)
+        g = rectgrid(cfg)
+        f = ds.forcing_at(197.5, 1996, g)     # mid-July -> record 6
+        np.testing.assert_allclose(float(f.flw[2, 2]), 260.0 * 1.6,
+                                   rtol=1e-3)
+        # rain and snow provided separately: no temperature partition
+        np.testing.assert_allclose(float(f.frain[2, 2]), 1e-5 * 1.6,
+                                   rtol=1e-3)
+        np.testing.assert_allclose(float(f.fsnow[2, 2]), 2e-5 * 1.6,
+                                   rtol=1e-3)
+        # direct longwave (no Parkinson-Washington parameterization)
+        assert abs(float(f.Tair[2, 2]) - 265.0 * 1.6) < 1.0
