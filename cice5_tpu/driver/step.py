@@ -395,9 +395,13 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                 sicen=jnp.moveaxis(zSin, 1, 0),
                 pndaspect=tcfg.pndaspect, frzpnd=tcfg.frzpnd,
                 dpscale=tcfg.dpscale, ktherm=cfg.thermo.ktherm)
-            trcrn = trcrn.at[:, tr.nt_apnd].set(pr.apnd)
-            trcrn = trcrn.at[:, tr.nt_hpnd].set(pr.hpnd)
-            trcrn = trcrn.at[:, tr.nt_ipnd].set(pr.ipnd)
+            if tr.nt_ipnd == tr.nt_hpnd + 1 == tr.nt_apnd + 2:
+                trcrn = trcrn.at[:, tr.nt_apnd:tr.nt_apnd + 3].set(
+                    jnp.stack([pr.apnd, pr.hpnd, pr.ipnd], axis=1))
+            else:
+                trcrn = trcrn.at[:, tr.nt_apnd].set(pr.apnd)
+                trcrn = trcrn.at[:, tr.nt_hpnd].set(pr.hpnd)
+                trcrn = trcrn.at[:, tr.nt_ipnd].set(pr.ipnd)
         elif tcfg.tr_pond_topo:
             # cell meltwater first feeds the ponds (fpond source terms from
             # compute_ponds_cesm-style accumulation happen inside the topo
@@ -414,9 +418,13 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                 apnd=trcrn[:, tr.nt_apnd], hpnd=trcrn[:, tr.nt_hpnd],
                 ipnd=trcrn[:, tr.nt_ipnd], ktherm=cfg.thermo.ktherm,
                 heat_capacity=cfg.thermo.ktherm != 0)
-            trcrn = trcrn.at[:, tr.nt_apnd].set(pt.apnd)
-            trcrn = trcrn.at[:, tr.nt_hpnd].set(pt.hpnd)
-            trcrn = trcrn.at[:, tr.nt_ipnd].set(pt.ipnd)
+            if tr.nt_ipnd == tr.nt_hpnd + 1 == tr.nt_apnd + 2:
+                trcrn = trcrn.at[:, tr.nt_apnd:tr.nt_apnd + 3].set(
+                    jnp.stack([pt.apnd, pt.hpnd, pt.ipnd], axis=1))
+            else:
+                trcrn = trcrn.at[:, tr.nt_apnd].set(pt.apnd)
+                trcrn = trcrn.at[:, tr.nt_hpnd].set(pt.hpnd)
+                trcrn = trcrn.at[:, tr.nt_ipnd].set(pt.ipnd)
         # net water captured by ponds this step, the fpond accumulator
         # (ice_flux.F90 fpond; schemes mirror every pond source/sink there)
         fpond_step = fpond_step + _pond_volume(trcrn, aicen)
