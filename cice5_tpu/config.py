@@ -55,6 +55,8 @@ class ThermoConfig:
     dSdt_slow_mode: float = -5.0e-8  # mushy drainage
     phi_c_slow_mode: float = 0.05
     phi_i_mushy: float = 0.85        # solid fraction of frozen mush
+    phi_init: float = 0.75           # initial liquid fraction of frazil
+    dSin0_frazil: float = 3.0        # frazil bulk-salinity offset from sss
     ksno: float = 0.30
     hfrazilmin: float = 0.05         # min thickness of new frazil ice (m)
     # mushy solver controls (ice_therm_mushy.F90)

@@ -500,7 +500,9 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                           tr_FY=cfg.tracers.tr_FY, tr_lvl=cfg.tracers.tr_lvl,
                           tr_iage=cfg.tracers.tr_iage,
                           update_ocn_f=cfg.forcing.update_ocn_f,
-                          ktherm=cfg.thermo.ktherm)
+                          ktherm=cfg.thermo.ktherm, sss=forcing.sss,
+                          phi_init=cfg.thermo.phi_init,
+                          dSin0_frazil=cfg.thermo.dSin0_frazil)
     aicen, vicen, trcrn = nir.aicen, nir.vicen, nir.trcrn
     frazil = nir.frazil
     fresh = fresh + nir.dfresh

@@ -472,7 +472,7 @@ def lateral_melt(dt, tr: TracerRegistry, nilyr, nslyr, *, aicen, vicen,
 
 
 # ----------------------------------------------------------------------
-# add_new_ice (ice_therm_itd.F90:1239-1860), ktherm != 2 path
+# add_new_ice (ice_therm_itd.F90:1239-1860)
 # ----------------------------------------------------------------------
 
 class NewIce(NamedTuple):
@@ -487,16 +487,41 @@ class NewIce(NamedTuple):
 def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
                 trcrn, aice, aice0, frzmlt, Tf, salinz,
                 tr_FY=False, tr_lvl=False, tr_iage=False,
-                update_ocn_f=False, ktherm=1) -> NewIce:
+                update_ocn_f=False, ktherm=1, sss=None,
+                phi_init=0.75, dSin0_frazil=3.0) -> NewIce:
     """Frazil formation: convert positive freezing potential into new ice
-    in category 1 (or spread over categories when open water is scarce)."""
+    in category 1 (or spread over categories when open water is scarce).
+
+    ktherm=2 frazil (ice_therm_itd.F90:1460-1492): new ice forms as mush
+    at bulk salinity Si0 = sss - dSin0_frazil (quadratic taper for fresh
+    water), liquid fraction phi_init, enthalpy from the mush liquidus;
+    otherwise frazil is fresh latent-heat ice with the salinz profile."""
     ncat = aicen.shape[0]
     B = aicen.shape[1:]
     # float(): numpy scalars would strongly promote f32 arrays under x64
     hi0max = float(hin_max[1]) * 0.9 if ncat > 1 else ct.bignum
     salinz = jnp.asarray(salinz, aicen.dtype)   # avoid f64 promotion
 
-    qi0new = -ct.rhoi * ct.Lfresh
+    nb = (1,) * len(B)
+    if ktherm == 2:
+        from cice5_tpu.models.thermo import mushy as mushy_mod
+        if sss is None:
+            sss = -Tf / ct.depressT
+        Si0new = jnp.where(sss > 2.0 * dSin0_frazil, sss - dSin0_frazil,
+                           sss ** 2 / (4.0 * dSin0_frazil))
+        Ti0 = jnp.minimum(
+            mushy_mod.liquidus_temperature(Si0new / phi_init), -0.1)
+        qi0new = mushy_mod.enthalpy_mush(Ti0, Si0new)     # (B), < 0
+        salz_hs = Si0new[None, None]          # hsurp-mix salinity profile
+        salz_c1 = Si0new[None]                # cat-1-mix profile
+        qi0_hs = qi0new[None, None]
+        qi0_c1 = qi0new[None]
+    else:
+        qi0new = -ct.rhoi * ct.Lfresh
+        salz_hs = salinz.reshape((1, nilyr) + nb)
+        salz_c1 = salinz.reshape((nilyr,) + nb)
+        qi0_hs = qi0new
+        qi0_c1 = qi0new
     fnew = jnp.maximum(frzmlt, 0.0)
     vi0new = -fnew * dt / qi0new
     frazil = vi0new
@@ -549,9 +574,8 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
     ro, rn = ratio_old[:, None], ratio_new[:, None]
     qblk = trcrn[:, q0:q0 + nilyr]
     sblk = trcrn[:, s0:s0 + nilyr]
-    salz = salinz.reshape((1, nilyr) + (1,) * (trcrn.ndim - 2))
-    qnew = jnp.where(hsm, qblk * ro + qi0new * rn, qblk)
-    snew = jnp.where(hsm, sblk * ro + salz * rn, sblk)
+    qnew = jnp.where(hsm, qblk * ro + qi0_hs * rn, qblk)
+    snew = jnp.where(hsm, sblk * ro + salz_hs * rn, sblk)
     if s0 == q0 + nilyr:
         trcrn = trcrn.at[:, q0:s0 + nilyr].set(
             jnp.concatenate([qnew, snew], axis=1))
@@ -606,9 +630,8 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
     v1s = jnp.maximum(v1new, ct.puny)
     qb = trcrn[0, q0:q0 + nilyr]
     sb = trcrn[0, s0:s0 + nilyr]
-    qbn = jnp.where(mixm, (qb * vice1 + qi0new * vi0n) / v1s, qb)
-    salz1 = salinz.reshape((nilyr,) + (1,) * (trcrn.ndim - 2))
-    sbn = jnp.where(mixm, (sb * vice1 + salz1 * vi0n) / v1s, sb)
+    qbn = jnp.where(mixm, (qb * vice1 + qi0_c1 * vi0n) / v1s, qb)
+    sbn = jnp.where(mixm, (sb * vice1 + salz_c1 * vi0n) / v1s, sb)
     if s0 == q0 + nilyr:
         trcrn = trcrn.at[0, q0:s0 + nilyr].set(
             jnp.concatenate([qbn, sbn], axis=0))

@@ -250,3 +250,45 @@ class TestZapSnowTemperature:
         # snow enthalpy reset to latent-only
         np.testing.assert_allclose(float(t2[1, tr.nt_qsno, 2]),
                                    -ct.rhos * ct.Lfresh, rtol=1e-6)
+
+
+class TestMushyFrazil:
+    def test_mushy_frazil_salinity_and_enthalpy(self):
+        """ktherm=2 frazil forms as mush: Si0 = sss - dSin0_frazil,
+        enthalpy from the liquidus at phi_init (ice_therm_itd.F90:
+        1460-1492) — saltier, less negative enthalpy than fresh latent
+        ice, so MORE volume per joule extracted."""
+        import jax.numpy as jnp
+        from cice5_tpu import constants as ct
+        from cice5_tpu.models.thermo import itd
+        from cice5_tpu.state import build_tracer_registry
+        from cice5_tpu.config import rect_config
+        cfg = rect_config()
+        tr = build_tracer_registry(cfg)
+        B = (4, 6)
+        ncat, nilyr = cfg.ncat, cfg.nilyr
+        aicen = jnp.zeros((ncat,) + B)          # all open water
+        vicen = aicen * 0.5
+        trcrn = jnp.zeros((ncat, tr.ntrcr) + B)
+        hin_max = itd.category_bounds(ncat, 1, 1)
+        from cice5_tpu.models.thermo.shared import salinity_profile
+        salinz = salinity_profile(nilyr, 3.2)
+        kw = dict(aicen=aicen, vicen=vicen, trcrn=trcrn,
+                  aice=jnp.sum(aicen, 0),
+                  aice0=1.0 - jnp.sum(aicen, 0),
+                  frzmlt=jnp.full(B, 150.0), Tf=jnp.full(B, -1.8),
+                  salinz=salinz)
+        r1 = itd.add_new_ice(3600.0, tr, hin_max, nilyr, ktherm=1, **kw)
+        r2 = itd.add_new_ice(3600.0, tr, hin_max, nilyr, ktherm=2,
+                             sss=jnp.full(B, 34.0), **kw)
+        # mushy frazil enthalpy is less negative -> more frazil volume
+        assert float(jnp.max(r2.frazil)) > float(jnp.max(r1.frazil)) * 1.05
+        # new ice carries Si0 = sss - 3 in the salinity tracers
+        s0 = tr.nt_sice
+        sal_new = np.asarray(r2.trcrn[0, s0:s0 + nilyr])
+        grow = np.asarray(r2.frazil) > 1e-8
+        np.testing.assert_allclose(
+            sal_new[:, grow].max(), 31.0, atol=2.0)
+        # mushy path returns the POP frazil-difference freshwater flux
+        assert float(jnp.max(jnp.abs(r2.dfresh))) > 0.0
+        assert float(jnp.max(jnp.abs(r1.dfresh))) == 0.0
