@@ -191,10 +191,13 @@ def run_loop(m, state, nsteps: int, start_step: int = 0,
 
     cfg = m.cfg
     rest = state if cfg.forcing.restore_ice else None
+    restore_topo = m.topo
     if rest is not None and m.topo.sharded:
-        raise NotImplementedError(
-            "restore_ice under ShardedModel: wrap restore_ice in the "
-            "sharded step (not yet plumbed)")
+        # outside shard_map the state arrays are GLOBAL jax.Arrays, so the
+        # boundary nudge (elementwise, static edge mask, no communication)
+        # applies with the global-domain topology; XLA keeps the sharding
+        import dataclasses as _dc
+        restore_topo = _dc.replace(m.topo, axis_x=None, axis_y=None)
     diag = None
     for k in range(nsteps):
         istep = start_step + k
@@ -203,7 +206,7 @@ def run_loop(m, state, nsteps: int, start_step: int = 0,
         if rest is not None:
             from cice5_tpu.models.restoring import restore_ice
             state = restore_ice(cfg.time.dt, cfg.forcing.trestore,
-                                state, rest, m.topo)
+                                state, rest, restore_topo)
         info = m.calendar.info(istep + 1, cfg.time.dt)
 
         if check_every:

@@ -592,7 +592,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                     from cice5_tpu.ops.pallas.evp_fused import evp_fused
                     evp_fn = evp_fused
                 elif (cfg.dyn.evp_algorithm == "chunked"
-                        and topo.ns not in ("tripole", "tripoleT")):
+                        and topo.ns != "tripoleT"):
                     # comm/compute-overlapped subcycling: ndte/K margin
                     # exchanges instead of ndte (evp.py evp_chunked)
                     from functools import partial

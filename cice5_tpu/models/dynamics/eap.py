@@ -39,7 +39,8 @@ from cice5_tpu import constants as ct
 from cice5_tpu.models.dynamics import shared as dyn
 from cice5_tpu.constants import FieldLoc, FieldType
 from cice5_tpu.models.dynamics.evp import (EVPResult, _extend_stress,
-                                           _region, strain_rates,
+                                           _region, _region_metrics,
+                                           strain_rates,
                                            stress_divergence)
 from cice5_tpu.parallel import Topology, extend
 
@@ -362,8 +363,10 @@ def eap(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
 
     aiu = dyn.to_ugrid(aice, grid, topo)
     umass = dyn.to_ugrid(tmass, grid, topo)
-    strairx = dyn.to_ugrid(strairxT, grid, topo)
-    strairy = dyn.to_ugrid(strairyT, grid, topo)
+    strairx = dyn.to_ugrid(strairxT, grid, topo,
+                           kind=FieldType.VECTOR)
+    strairy = dyn.to_ugrid(strairyT, grid, topo,
+                           kind=FieldType.VECTOR)
 
     icem_u = grid.umask & (aiu > dyn.A_MIN) & (umass > dyn.M_MIN)
     new_pts = icem_u & (iceumask < 0.5)
@@ -387,9 +390,9 @@ def eap(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
     forcex = jnp.where(icem_u, strairx + strtltx, 0.0)
     forcey = jnp.where(icem_u, strairy + strtlty, 0.0)
 
-    gR = {k: _region(getattr(grid, k), topo)
-          for k in ("dxt", "dyt", "dxhy", "dyhx", "cxp", "cyp", "cxm",
-                    "cym", "tarear", "tinyarea")}
+    gR = _region_metrics(grid, topo, ("dxt", "dyt", "dxhy", "dyhx",
+                                      "cxp", "cyp", "cxm", "cym",
+                                      "tarear", "tinyarea"))
     strengthR = _region(strength, topo)
 
     stress0 = jnp.concatenate([stressp, stressm, stress12], axis=0)

@@ -266,6 +266,30 @@ def _region(field_2d, topo, loc=FieldLoc.CENTER, kind=FieldType.SCALAR):
     return extend(field_2d, topo, loc=loc, kind=kind)[..., 1:, 1:]
 
 
+# one-sided metric coefficients map onto their PARTNERS under the
+# 180-degree tripole fold: ghost cyp = -cym(image) etc. (definitions
+# ice_grid.F90:356-367; validated by tests/test_tripole_oracle.py's
+# doubled-domain equivalence)
+_METRIC_FOLD = {"cxp": ("cxm", -1.0), "cxm": ("cxp", -1.0),
+                "cyp": ("cym", -1.0), "cym": ("cyp", -1.0),
+                "dxhy": ("dxhy", -1.0), "dyhx": ("dyhx", -1.0)}
+
+
+def _region_metrics(grid, topo, names):
+    """Ghost-extended metric dict with fold-correct partner ghosts."""
+    out = {}
+    tri = topo.ns in ("tripole", "tripoleT")
+    for k in names:
+        f = getattr(grid, k)
+        if tri and k in _METRIC_FOLD:
+            pname, s = _METRIC_FOLD[k]
+            out[k] = extend(f, topo, fold_partner=getattr(grid, pname),
+                            fold_sign=s)[..., 1:, 1:]
+        else:
+            out[k] = _region(f, topo)
+    return out
+
+
 # tripole fold swaps the stress corner partners NE<->SW, NW<->SE for each
 # of (stressp, stressm, stress12) (ice_dyn_evp.F90:416-481
 # ice_HaloUpdate_stress pairs)
@@ -308,8 +332,10 @@ def evp(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
     # --- T -> U interpolation ---
     aiu = dyn.to_ugrid(aice, grid, topo)
     umass = dyn.to_ugrid(tmass, grid, topo)
-    strairx = dyn.to_ugrid(strairxT, grid, topo)
-    strairy = dyn.to_ugrid(strairyT, grid, topo)
+    strairx = dyn.to_ugrid(strairxT, grid, topo,
+                           kind=FieldType.VECTOR)
+    strairy = dyn.to_ugrid(strairyT, grid, topo,
+                           kind=FieldType.VECTOR)
 
     # --- prep2 ---
     icem_u = grid.umask & (aiu > dyn.A_MIN) & (umass > dyn.M_MIN)
@@ -335,9 +361,9 @@ def evp(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
     forcey = jnp.where(icem_u, strairy + strtlty, 0.0)
 
     # --- region metric arrays (ghosts valid via halo exchange, once) ---
-    gR = {k: _region(getattr(grid, k), topo)
-          for k in ("dxt", "dyt", "dxhy", "dyhx", "cxp", "cyp", "cxm",
-                    "cym", "tarear", "tinyarea")}
+    gR = _region_metrics(grid, topo, ("dxt", "dyt", "dxhy", "dyhx", "cxp",
+                                      "cyp", "cxm", "cym", "tarear",
+                                      "tinyarea"))
     strengthR = _region(strength, topo)
 
     # --- stress state on the region grid; ghost ring seeded by exchange ---
@@ -403,15 +429,19 @@ def evp_chunked(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice,
     margin-decay light cone never reaches the interior). Exchange count:
     ndte/K instead of ndte.
 
-    Cyclic/open boundaries (the tripole seam falls back to `evp`).
+    Tripole (U-fold) north seams are supported: the W-deep margin above
+    the fold is filled with the fold image — velocities as NECORNER
+    vectors, stress through the corner-partner permutation, one-sided
+    metric coefficients through their partners — and then evolves
+    mirror-equivalently (the kernel is fold-equivariant; validated
+    against the doubled-domain oracle, tests/test_tripole_oracle.py).
     Requires ndte % K == 0 and K <= local shard extent.
     """
-    if topo.ns in ("tripole", "tripoleT"):
-        raise NotImplementedError("evp_chunked: tripole unsupported; "
-                                  "use evp()")
+    if topo.ns == "tripoleT":
+        raise NotImplementedError("evp_chunked: T-fold grids; use evp()")
     if p.ndte % K != 0:
         raise ValueError(f"ndte={p.ndte} not divisible by K={K}")
-    from cice5_tpu.parallel import extend_wide
+    from cice5_tpu.parallel import extend_wide, extend_wide_groups
     ny, nx = aice.shape
     W = K
     nchunks = p.ndte // K
@@ -420,8 +450,10 @@ def evp_chunked(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice,
     tmass, icetmask = dyn.icet_mask(aice, vice, vsno, grid.tmask, topo)
     aiu = dyn.to_ugrid(aice, grid, topo)
     umass = dyn.to_ugrid(tmass, grid, topo)
-    strairx = dyn.to_ugrid(strairxT, grid, topo)
-    strairy = dyn.to_ugrid(strairyT, grid, topo)
+    strairx = dyn.to_ugrid(strairxT, grid, topo,
+                           kind=FieldType.VECTOR)
+    strairy = dyn.to_ugrid(strairyT, grid, topo,
+                           kind=FieldType.VECTOR)
     icem_u = grid.umask & (aiu > dyn.A_MIN) & (umass > dyn.M_MIN)
     new_pts = icem_u & (iceumask < 0.5)
     uvel = jnp.where(new_pts, uocn, uvel)
@@ -442,30 +474,44 @@ def evp_chunked(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice,
     forcex = jnp.where(icem_u, strairx + strtltx, 0.0)
     forcey = jnp.where(icem_u, strairy + strtlty, 0.0)
 
-    # --- static fields extended once per call (one wide exchange) ---
-    met_names = ("dxt", "dyt", "dxhy", "dyhx", "cxp", "cyp", "cxm", "cym",
-                 "tarear", "tinyarea")
+    # --- static fields extended once per call (one wide exchange),
+    # grouped by tripole fold treatment: T-centered scalars + partner
+    # metrics / U-point scalars / U-point vectors ---
     dtype = aice.dtype
-    statics = jnp.stack(
-        [getattr(grid, k) for k in met_names]
-        + [strength, icetmask.astype(dtype), uocn, vocn, waterx, watery,
-           forcex, forcey, umassdti, fm, grid.uarear,
-           icem_u.astype(dtype), uvel, vvel])
-    SW = extend_wide(statics, topo, W)
+    g = grid
+    centerA = [g.dxt, g.dyt, g.tarear, g.tinyarea, strength,
+               icetmask.astype(dtype)]
+    centerM = [g.dxhy, g.dyhx, g.cxp, g.cyp, g.cxm, g.cym]
+    centerM_partner = [-g.dxhy, -g.dyhx, -g.cxm, -g.cym, -g.cxp, -g.cyp]
+    uscal = [umassdti, fm, g.uarear, icem_u.astype(dtype), aiu]
+    uvec = [uocn, vocn, waterx, watery, forcex, forcey, uvel, vvel]
+    statics = jnp.stack(centerA + centerM + uscal + uvec)
+    nC, nM, nS = len(centerA), len(centerM), len(uscal)
+    groups = [
+        (slice(0, nC + nM), FieldLoc.CENTER, FieldType.SCALAR,
+         jnp.stack(centerA + centerM_partner), 1.0),
+        (slice(nC + nM, nC + nM + nS), FieldLoc.NECORNER,
+         FieldType.SCALAR, None, 1.0),
+        (slice(nC + nM + nS, nC + nM + nS + len(uvec)),
+         FieldLoc.NECORNER, FieldType.VECTOR, None, 1.0),
+    ]
+    SW = extend_wide_groups(statics, topo, W, groups)
     topoI = Topology(ew="open", ns="open")   # inner: no comm, zero rims
+    met_names = ("dxt", "dyt", "tarear", "tinyarea", None, None,
+                 "dxhy", "dyhx", "cxp", "cyp", "cxm", "cym")
     gRw = {k: extend(SW[i], topoI)[1:, 1:]
-           for i, k in enumerate(met_names)}
-    strengthRw = extend(SW[10], topoI)[1:, 1:]
-    maskRw = extend(SW[11], topoI)[1:, 1:] > 0.5
-    uocnW, vocnW = SW[12], SW[13]
-    waterxW, wateryW = SW[14], SW[15]
-    forcexW, forceyW = SW[16], SW[17]
-    umassdtiW, fmW = SW[18], SW[19]
-    uarearW = SW[20]
-    icem_uW = SW[21] > 0.5
-    uvel_initW, vvel_initW = SW[22], SW[23]
-
-    aiuW = extend_wide(aiu, topo, W)
+           for i, k in enumerate(met_names) if k is not None}
+    strengthRw = extend(SW[4], topoI)[1:, 1:]
+    maskRw = extend(SW[5], topoI)[1:, 1:] > 0.5
+    o = nC + nM
+    umassdtiW, fmW, uarearW = SW[o], SW[o + 1], SW[o + 2]
+    icem_uW = SW[o + 3] > 0.5
+    aiuW = SW[o + 4]
+    o += nS
+    uocnW, vocnW = SW[o], SW[o + 1]
+    waterxW, wateryW = SW[o + 2], SW[o + 3]
+    forcexW, forceyW = SW[o + 4], SW[o + 5]
+    uvel_initW, vvel_initW = SW[o + 6], SW[o + 7]
 
     def body_inner(k, carry):
         u, v, stress, _ = carry
@@ -485,10 +531,21 @@ def evp_chunked(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice,
     zRw = jnp.zeros((ny + 2 * W + 1, nx + 2 * W + 1), dtype)
     z2w = jnp.zeros((ny + 2 * W, nx + 2 * W), dtype)
 
+    tri = topo.ns == "tripole"
+    perm = jnp.asarray(_TRIPOLE_STRESS_PERM)
+
     def chunk_body(c, carry):
         u, v, stress0, _ = carry   # u/v (ny,nx); stress0 (12,ny,nx)
         S = jnp.concatenate([u[None], v[None], stress0])
-        SE = extend_wide(S, topo, W)           # ONE exchange per chunk
+        if tri:
+            SE = extend_wide_groups(S, topo, W, [
+                (slice(0, 2), FieldLoc.NECORNER, FieldType.VECTOR,
+                 None, 1.0),
+                (slice(2, 14), FieldLoc.CENTER, FieldType.SCALAR,
+                 stress0[perm], 1.0),
+            ])
+        else:
+            SE = extend_wide(S, topo, W)       # ONE exchange per chunk
         uW_, vW_ = SE[0], SE[1]
         stressRW = extend(SE[2:], topoI)[:, 1:, 1:]
         stressRW = jnp.where(maskRw[None], stressRW, 0.0)

@@ -205,6 +205,18 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
         msnow = c.msnow_mlt
         esnow = c.esnow_mlt
 
+        # accumulate all donor/receiver updates in Python lists and apply
+        # them as ONE stacked add per array: .at[n, it].add chains made
+        # every update a full-array materialization (ncat*ncat*ntrcr of
+        # them), the hottest region of the ridging profile
+        d_aicen = [None] * ncat
+        d_vicen = [None] * ncat
+        d_vsnon = [None] * ncat
+        d_atrcr = [[None] * tr.ntrcr for _ in range(ncat)]
+
+        def acc(lst, i, val):
+            lst[i] = val if lst[i] is None else lst[i] + val
+
         for n in range(ncat):
             ridging = ((a_init[n] > ct.puny) & (r.apartic[n] > 0.0)
                        & (closing_gross > 0.0))
@@ -216,9 +228,9 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
             virdgn = v_init[n] * afrac
             vsrdgn = s_init[n] * afrac
 
-            aicen = aicen.at[n].add(-ardg1n)
-            vicen = vicen.at[n].add(-virdgn)
-            vsnon = vsnon.at[n].add(-vsrdgn)
+            acc(d_aicen, n, -ardg1n)
+            acc(d_vicen, n, -virdgn)
+            acc(d_vsnon, n, -vsrdgn)
 
             ardg1_d = ardg1_d + ardg1n
             ardg2_d = ardg2_d + ardg2n
@@ -232,7 +244,7 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
             t_n = trcrn[n]
             for it in range(tr.ntrcr):
                 datr = _chain_amount(tr, it, t_n, ardg1n, virdgn, vsrdgn)
-                atrcrn = atrcrn.at[n, it].add(-datr)
+                acc(d_atrcr[n], it, -datr)
 
             # receiver-side redistribution
             dhr = jnp.maximum(r.hrmax[n] - r.hrmin[n], ct.puny)
@@ -267,9 +279,9 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
                         farea = expL
                         fvol = (hL + hexp) * expL / (hi1 + hexp)
 
-                aicen = aicen.at[nr].add(farea * ardg2n)
-                vicen = vicen.at[nr].add(fvol * virdgn)
-                vsnon = vsnon.at[nr].add(fvol * vsrdgn * FSNOWRDG)
+                acc(d_aicen, nr, farea * ardg2n)
+                acc(d_vicen, nr, fvol * virdgn)
+                acc(d_vsnon, nr, fvol * vsrdgn * FSNOWRDG)
 
                 for it in range(tr.ntrcr):
                     root, parents = _chain_root_and_parents(tr, it)
@@ -284,7 +296,18 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
                             amt = amt * t_n[p]
                     else:
                         amt = fvol * vsrdgn * FSNOWRDG * t_n[it]
-                    atrcrn = atrcrn.at[nr, it].add(amt)
+                    acc(d_atrcr[nr], it, amt)
+
+        zB = jnp.zeros(B, dtype)
+        aicen = aicen + jnp.stack([d if d is not None else zB
+                                   for d in d_aicen])
+        vicen = vicen + jnp.stack([d if d is not None else zB
+                                   for d in d_vicen])
+        vsnon = vsnon + jnp.stack([d if d is not None else zB
+                                   for d in d_vsnon])
+        atrcrn = atrcrn + jnp.stack(
+            [jnp.stack([d if d is not None else zB for d in row])
+             for row in d_atrcr])
 
         trcrn = compute_tracers(tr, atrcrn, aicen, vicen, vsnon)
 

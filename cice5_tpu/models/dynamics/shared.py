@@ -18,6 +18,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from cice5_tpu import constants as ct
+from cice5_tpu.constants import FieldType
 from cice5_tpu.parallel import Topology, extend
 
 EYC = 0.36       # E_0: ratio of elastic damping timescale to dt
@@ -63,10 +64,15 @@ class EVPParams:
                    ecci=1.0 / e_ratio ** 2, cosw=cosw, sinw=sinw)
 
 
-def to_ugrid(T, grid, topo: Topology):
+def to_ugrid(T, grid, topo: Topology, kind=FieldType.SCALAR):
     """Area-weighted T->U interpolation (ice_grid.F90:1834-1883 to_ugrid):
-    U(i,j) = 1/4 sum of the 4 surrounding T values * tarea / uarea."""
-    w = extend(T * grid.tarea, topo)
+    U(i,j) = 1/4 sum of the 4 surrounding T values * tarea / uarea.
+
+    kind: pass FieldType.VECTOR for vector components (wind stress) so the
+    tripole fold ghost row flips sign — a scalar fold hands the seam U row
+    the UNNEGATED image, reversing the interpolated stress there
+    (caught by tests/test_tripole_oracle.py)."""
+    w = extend(T * grid.tarea, topo, kind=kind)
     s = w[..., 1:-1, 1:-1] + w[..., 1:-1, 2:] + w[..., 2:, 1:-1] + w[..., 2:, 2:]
     return 0.25 * s * grid.uarear
 

@@ -561,59 +561,54 @@ def _net_k(sol, k):
 def _partition_sol(*, nilyr, nslyr, srftyp, fnidr, swvdr, swvdf, swidr,
                    swidf, sol, B, dtype) -> DEddFluxes:
     """Flux partition reading the adding-solution LISTS lazily (same math
-    as _partition; sol entries are (NSPINT, *B))."""
+    as _partition; sol entries are (NSPINT, *B)).
+
+    Every output is an elementwise expression of the band-weighted TOTAL
+    net flux at each interface, computed once per k — no sequential
+    .at[].add chains (each of which forced a separate fusion that
+    rematerialized the adding recurrences; this line was the single
+    hottest region of the gx1-parity step profile)."""
     klev = nslyr + nilyr + 1
     ksrf = 1 if srftyp == 1 else nslyr + 2
     wghtns2 = 0.67 + (0.78 - 0.67) * (1.0 - fnidr)
     wghtns3 = 1.0 - wghtns2
     rupdirL, rupdifL = sol[3], sol[4]
 
-    netc = {}
+    avdr = rupdirL[0][0]
+    avdf = rupdifL[0][0]
+    aidr = rupdirL[0][1] * wghtns2 + rupdirL[0][2] * wghtns3
+    aidf = rupdifL[0][1] * wghtns2 + rupdifL[0][2] * wghtns3
 
-    def dfs(k):
-        if k not in netc:
-            netc[k] = _net_k(sol, k)
-        return netc[k]
+    # net_tot[k]: band-weighted total net downward flux at interface k;
+    # net_vs[k]: the visible-band (ns=0) component alone (for fswpenl)
+    net_tot = [None] * (klev + 2)
+    net_vs = [None] * (klev + 2)
+    for k in range(klev + 2):
+        dfdir, dfdif = _net_k(sol, k)
+        net_vs[k] = dfdir[0] * swvdr + dfdif[0] * swvdf
+        nir = (wghtns2 * dfdir[1] + wghtns3 * dfdir[2]) * swidr \
+            + (wghtns2 * dfdif[1] + wghtns3 * dfdif[2]) * swidf
+        net_tot[k] = net_vs[k] + nir
 
-    avdr = avdf = aidr = aidf = jnp.zeros(B, dtype)
-    fsfc = fint = fthru = jnp.zeros(B, dtype)
-    Sabs = jnp.zeros((nslyr,) + B, dtype)
-    Iabs = jnp.zeros((nilyr,) + B, dtype)
-    fthrul = jnp.zeros((nilyr + 1,) + B, dtype)
+    fsfc = net_tot[0] - net_tot[ksrf]
+    fint = net_tot[ksrf] - net_tot[klev + 1]
+    fthru = net_tot[klev + 1]
 
-    for ns in range(NSPINT):
-        if ns == 0:
-            swdr, swdf, wght = swvdr, swvdf, 1.0
-            avdr = rupdirL[0][ns]
-            avdf = rupdifL[0][ns]
-        else:
-            swdr, swdf = swidr, swidf
-            wght = wghtns2 if ns == 1 else wghtns3
-            aidr = aidr + rupdirL[0][ns] * wght
-            aidf = aidf + rupdifL[0][ns] * wght
+    if srftyp == 1:
+        Sabs = jnp.stack([net_tot[k] - net_tot[k + 1]
+                          for k in range(1, nslyr + 1)])
+    else:
+        Sabs = jnp.zeros((nslyr,) + B, dtype)
 
-        def net(k):
-            dfdir, dfdif = dfs(k)
-            return dfdir[ns] * swdr + dfdif[ns] * swdf
+    iabs_l = []
+    for k in range(nslyr + 2, nslyr + 2 + nilyr):
+        km, kp = k, k + 1
+        if srftyp == 1 and k == nslyr + 2:
+            km, kp = k - 1, k + 1
+        iabs_l.append(net_tot[km] - net_tot[kp])
+    Iabs = jnp.stack(iabs_l)
 
-        tmp0 = net(0) * wght
-        tmpks = net(ksrf) * wght
-        tmpkl = net(klev + 1) * wght
-        fsfc = fsfc + tmp0 - tmpks
-        fint = fint + tmpks - tmpkl
-        fthru = fthru + tmpkl
-
-        if srftyp == 1:
-            for k in range(1, nslyr + 1):
-                Sabs = Sabs.at[k - 1].add((net(k) - net(k + 1)) * wght)
-        for k in range(nslyr + 2, nslyr + 2 + nilyr):
-            km, kp = k, k + 1
-            if srftyp == 1 and k == nslyr + 2:
-                km, kp = k - 1, k + 1
-            Iabs = Iabs.at[k - nslyr - 2].add((net(km) - net(kp)) * wght)
-        if ns == 0:
-            for k in range(nslyr + 2, klev + 2):
-                fthrul = fthrul.at[k - nslyr - 2].set(net(k))
+    fthrul = jnp.stack([net_vs[k] for k in range(nslyr + 2, klev + 2)])
 
     return DEddFluxes(avdr=avdr, avdf=avdf, aidr=aidr, aidf=aidf,
                       fsfc=fsfc, fint=fint, fthru=fthru, Sabs=Sabs,

@@ -125,8 +125,10 @@ def evp_fused(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice,
     maskR = _region(icetmask.astype(aice.dtype), topo) > 0.5
     aiu = dyn.to_ugrid(aice, grid, topo)
     umass = dyn.to_ugrid(tmass, grid, topo)
-    strairx = dyn.to_ugrid(strairxT, grid, topo)
-    strairy = dyn.to_ugrid(strairyT, grid, topo)
+    strairx = dyn.to_ugrid(strairxT, grid, topo,
+                           kind=FieldType.VECTOR)
+    strairy = dyn.to_ugrid(strairyT, grid, topo,
+                           kind=FieldType.VECTOR)
     icem_u = grid.umask & (aiu > dyn.A_MIN) & (umass > dyn.M_MIN)
     new_pts = icem_u & (iceumask < 0.5)
     uvel = jnp.where(new_pts, uocn, uvel)

@@ -168,22 +168,49 @@ def _tripole_ghost(f, topo: Topology, loc: FieldLoc, kind: FieldType):
 def extend(f: jnp.ndarray, topo: Topology,
            loc: FieldLoc = FieldLoc.CENTER,
            kind: FieldType = FieldType.SCALAR,
-           open_fill: str = "zero") -> jnp.ndarray:
+           open_fill: str = "zero",
+           fold_partner: jnp.ndarray | None = None,
+           fold_sign: float = 1.0) -> jnp.ndarray:
     """Add a 1-cell ghost ring: (..., ny, nx) -> (..., ny+2, nx+2).
 
     open_fill: what non-cyclic (open/closed) global-boundary ghosts hold —
     "zero" (the ice_HaloUpdate default fill) or "extrapolate" (linear
     ghost = 2*edge - inner, the ice_HaloExtrapolate semantics used for
     grid variables and regional-domain stencils,
-    mpi/ice_boundary.F90:7070-7172)."""
+    mpi/ice_boundary.F90:7070-7172).
+
+    fold_partner/fold_sign: on tripole topologies, build the north ghost
+    row from ``fold_sign * fold(fold_partner)`` instead of the field
+    itself. The 180-degree fold maps one-sided metric coefficients onto
+    their PARTNERS (ghost cyp = -cym of the image cell, cxp = -cxm,
+    dxhy/dyhx negate; cf. ice_grid.F90:356-367 definitions) — a plain
+    scalar fold of cxp would hand the ghost row the image cell's cxp,
+    which differs on any grid with nonuniform face lengths. Only
+    supported for non-degenerate staggerings (CENTER/EFACE on the U-fold).
+    """
     tripole = topo.ns in ("tripole", "tripoleT")
     cyc_x = topo.ew == "cyclic"
     cyc_y = topo.ns == "cyclic"
     extrap = open_fill == "extrapolate"
 
+    if tripole and fold_partner is not None:
+        degen = _TFOLD_DEGEN if topo.ns == "tripoleT" else _UFOLD_DEGEN
+        if loc in degen:
+            raise NotImplementedError(
+                "fold_partner on a degenerate (on-fold) staggering")
+
     if tripole:
         # fold ghost row (interior width), before x-extension
-        tghost, top_sym = _tripole_ghost(f, topo, loc, kind)
+        if fold_partner is not None:
+            offs = (_TFOLD_OFFSETS if topo.ns == "tripoleT"
+                    else _UFOLD_OFFSETS)
+            ioff, joff = offs.get(loc, (0, 0))
+            src = fold_partner[..., -1 - joff:fold_partner.shape[-2] - joff,
+                               :]
+            tghost = fold_sign * _fold_map(src, topo, ioff)
+            top_sym = None
+        else:
+            tghost, top_sym = _tripole_ghost(f, topo, loc, kind)
         if top_sym is not None:
             # only the global top row is degenerate; under Y sharding
             # gate the symmetrization to the top device row
@@ -271,7 +298,64 @@ def shifted(F, di: int, dj: int):
     return F[..., j0:j1, i0:i1]
 
 
-def extend_wide(f: jnp.ndarray, topo: Topology, W: int) -> jnp.ndarray:
+def _tripole_ghost_wide(f, topo: Topology, loc: FieldLoc, kind: FieldType,
+                        W: int, fold_partner=None, fold_sign: float = 1.0):
+    """W north ghost rows for the tripole fold: ghost row ny+k reads
+    sign * field(nxGlobal+1-i-ioffset, ny-joffset-(k-1)) — the W-deep
+    generalization of _tripole_ghost (mpi/ice_boundary.F90:1494-1596).
+
+    Returns (ghost (..., W, nx), top_row_sym or None)."""
+    sign = -1.0 if kind in (FieldType.VECTOR, FieldType.ANGLE) else 1.0
+    tfold = topo.ns == "tripoleT"
+    offs = _TFOLD_OFFSETS if tfold else _UFOLD_OFFSETS
+    degen = _TFOLD_DEGEN if tfold else _UFOLD_DEGEN
+    ioff, joff = offs.get(loc, (0, 0))
+
+    # with fold_partner the caller supplies the exact ghost sources (and
+    # any sign premultiplied); the degenerate top row is used as-is —
+    # consistent inputs already satisfy the fold symmetry there
+    top_sym = None
+    if loc in degen and fold_partner is None:
+        top = f[..., -1:, :]
+        tB = _fold_map(top, topo, ioff)
+        top_sym = 0.5 * (top + sign * tB)
+        if ioff == -1:
+            nx_loc = top.shape[-1]
+            if topo.axis_x is None:
+                selfmask = np.zeros(nx_loc, bool)
+                selfmask[0] = True
+                if nx_loc % 2 == 0:
+                    selfmask[nx_loc // 2] = True
+                top_sym = jnp.where(jnp.asarray(selfmask), top, top_sym)
+            else:
+                npx = lax.axis_size(topo.axis_x)
+                ix = lax.axis_index(topo.axis_x)
+                col = jnp.arange(nx_loc) + ix * nx_loc
+                nxg = nx_loc * npx
+                selfmask = (col == 0) | (col == nxg // 2)
+                top_sym = jnp.where(selfmask, top, top_sym)
+
+    src_field = fold_partner if fold_partner is not None else f
+    sgn = fold_sign if fold_partner is not None else sign
+    ny_l = f.shape[-2]
+    if ny_l < W + joff:
+        raise ValueError(f"tripole wide fold needs ny_local >= W+joff "
+                         f"({ny_l} < {W}+{joff})")
+    rows = src_field[..., ny_l - joff - W:ny_l - joff, :]
+    if top_sym is not None and joff == 0:
+        # the k=1 source is the SYMMETRIZED top row (the reference
+        # symmetrizes the tripole buffer before copy-out)
+        rows = jnp.concatenate([rows[..., :-1, :], top_sym], axis=-2)
+    rows = jnp.flip(rows, axis=-2)          # ghost order k = 1..W
+    ghost = sgn * _fold_map(rows, topo, ioff)
+    return ghost, top_sym
+
+
+def extend_wide(f: jnp.ndarray, topo: Topology, W: int,
+                loc: FieldLoc = FieldLoc.CENTER,
+                kind: FieldType = FieldType.SCALAR,
+                fold_partner: jnp.ndarray | None = None,
+                fold_sign: float = 1.0) -> jnp.ndarray:
     """Add a W-cell ghost ring in ONE neighbor exchange per side:
     (..., ny, nx) -> (..., ny+2W, nx+2W).
 
@@ -281,16 +365,29 @@ def extend_wide(f: jnp.ndarray, topo: Topology, W: int) -> jnp.ndarray:
     K-ring margin is exchanged once per K subcycles and the margin is
     recomputed redundantly, cutting the latency-bound exchange count by K.
 
-    Cyclic/open boundaries only (the tripole fold of the 1-ring `extend`
-    is not implemented for wide margins yet — callers fall back). Requires
-    W <= the local shard extent on sharded axes (single-hop exchange).
+    Tripole north seams fill the W ghost rows with the fold image of the
+    top W rows (loc/kind staggering + parity as in `extend`;
+    fold_partner/fold_sign as in `extend` for one-sided metric
+    coefficients). Requires W <= the local shard extent on sharded axes
+    (single-hop exchange; W+joff rows locally for the fold).
     """
-    if topo.ns in ("tripole", "tripoleT"):
-        raise NotImplementedError("extend_wide: tripole fold unsupported")
-    if W == 1:
-        return extend(f, topo)
+    tripole = topo.ns in ("tripole", "tripoleT")
+    if W == 1 and not tripole:
+        return extend(f, topo, loc=loc, kind=kind)
     cyc_x = topo.ew == "cyclic"
     cyc_y = topo.ns == "cyclic"
+
+    tghost = None
+    if tripole:
+        tghost, top_sym = _tripole_ghost_wide(
+            f, topo, loc, kind, W, fold_partner=fold_partner,
+            fold_sign=fold_sign)
+        if top_sym is not None:
+            if topo.axis_y is not None:
+                is_top = (lax.axis_index(topo.axis_y)
+                          == lax.axis_size(topo.axis_y) - 1)
+                top_sym = jnp.where(is_top, top_sym, f[..., -1:, :])
+            f = jnp.concatenate([f[..., :-1, :], top_sym], axis=-2)
 
     # --- x ---
     if topo.axis_x is not None:
@@ -312,6 +409,95 @@ def extend_wide(f: jnp.ndarray, topo: Topology, W: int) -> jnp.ndarray:
     else:
         svals = jnp.zeros_like(fx[..., -W:, :])
         nvals = jnp.zeros_like(fx[..., :W, :])
+
+    if tripole:
+        # x-extend the folded ghost block (cyclic seam) and use it at the
+        # north edge; under Y sharding only the top device row applies it
+        if topo.axis_x is not None:
+            tg_w = _pshift(tghost[..., :, -W:], topo.axis_x, +1, True)
+            tg_e = _pshift(tghost[..., :, :W], topo.axis_x, -1, True)
+        else:
+            tg_w, tg_e = tghost[..., :, -W:], tghost[..., :, :W]
+        tg_ext = jnp.concatenate([tg_w, tghost, tg_e], axis=-1)
+        if topo.axis_y is not None:
+            is_top = (lax.axis_index(topo.axis_y)
+                      == lax.axis_size(topo.axis_y) - 1)
+            nvals = jnp.where(is_top, tg_ext, nvals)
+        else:
+            nvals = tg_ext
+    return jnp.concatenate([svals, fx, nvals], axis=-2)
+
+
+def extend_wide_groups(f: jnp.ndarray, topo: Topology, W: int,
+                       groups) -> jnp.ndarray:
+    """extend_wide for a (C, ny, nx) stack whose entries need DIFFERENT
+    tripole fold treatments but should share ONE neighbor exchange.
+
+    groups: list of (channel_slice, loc, kind, fold_partner, fold_sign)
+    covering 0..C in order; fold_partner is a (len, ny, nx) stack or None.
+    Non-tripole topologies ignore the groups entirely (one extend_wide).
+
+    Used by the chunked EVP on tripole seams: (u, v) fold as NECORNER
+    vectors while the 12 stress components fold through the corner-partner
+    permutation (ice_HaloUpdate_stress, mpi/ice_boundary.F90:5564) — one
+    slab exchange per chunk either way.
+    """
+    tripole = topo.ns in ("tripole", "tripoleT")
+    if not tripole:
+        return extend_wide(f, topo, W)
+    if topo.ns == "tripoleT":
+        raise NotImplementedError("extend_wide_groups: T-fold grids")
+    cyc_x = topo.ew == "cyclic"
+
+    ghosts = []
+    fparts = []
+    for sl, loc, kind, fpart, fsign in groups:
+        sub = f[sl]
+        g, top_sym = _tripole_ghost_wide(sub, topo, loc, kind, W,
+                                         fold_partner=fpart,
+                                         fold_sign=fsign)
+        if top_sym is not None:
+            if topo.axis_y is not None:
+                is_top = (lax.axis_index(topo.axis_y)
+                          == lax.axis_size(topo.axis_y) - 1)
+                top_sym = jnp.where(is_top, top_sym, sub[..., -1:, :])
+            sub = jnp.concatenate([sub[..., :-1, :], top_sym], axis=-2)
+        ghosts.append(g)
+        fparts.append(sub)
+    f = jnp.concatenate(fparts, axis=0)
+    tghost = jnp.concatenate(ghosts, axis=0)
+
+    # --- x ---
+    if topo.axis_x is not None:
+        wvals = _pshift(f[..., :, -W:], topo.axis_x, +1, cyc_x)
+        evals = _pshift(f[..., :, :W], topo.axis_x, -1, cyc_x)
+    elif cyc_x:
+        wvals, evals = f[..., :, -W:], f[..., :, :W]
+    else:
+        wvals = jnp.zeros_like(f[..., :, -W:])
+        evals = jnp.zeros_like(f[..., :, :W])
+    fx = jnp.concatenate([wvals, f, evals], axis=-1)
+
+    # --- y ---
+    if topo.axis_y is not None:
+        svals = _pshift(fx[..., -W:, :], topo.axis_y, +1, False)
+        nvals = _pshift(fx[..., :W, :], topo.axis_y, -1, False)
+    else:
+        svals = jnp.zeros_like(fx[..., -W:, :])
+        nvals = jnp.zeros_like(fx[..., :W, :])
+
+    if topo.axis_x is not None:
+        tg_w = _pshift(tghost[..., :, -W:], topo.axis_x, +1, True)
+        tg_e = _pshift(tghost[..., :, :W], topo.axis_x, -1, True)
+    else:
+        tg_w, tg_e = tghost[..., :, -W:], tghost[..., :, :W]
+    tg_ext = jnp.concatenate([tg_w, tghost, tg_e], axis=-1)
+    if topo.axis_y is not None:
+        is_top = (lax.axis_index(topo.axis_y)
+                  == lax.axis_size(topo.axis_y) - 1)
+        nvals = jnp.where(is_top, tg_ext, nvals)
+    else:
+        nvals = tg_ext
     return jnp.concatenate([svals, fx, nvals], axis=-2)
 
 

@@ -80,7 +80,7 @@ class TestChunkedSingleDevice:
         p = dyn.EVPParams.classic(3600.0, ndte=30)
         with pytest.raises(ValueError):
             evp_chunked(3600.0, p, g, topo, K=7, **f)
-        tp = Topology(ew="cyclic", ns="tripole")
+        tp = Topology(ew="cyclic", ns="tripoleT")   # T-fold: unsupported
         with pytest.raises(NotImplementedError):
             evp_chunked(3600.0, p, g, tp, K=5, **f)
 
@@ -213,3 +213,36 @@ class TestChunkedInStep:
             scale = max(np.abs(a).max(), 1.0)
             np.testing.assert_allclose(a, b, atol=1e-9 * scale,
                                        err_msg=name)
+
+
+class TestChunkedTripole:
+    @pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+    def test_tripole_decomposition_invariance(self, rng, mesh_shape):
+        """Sharded chunked EVP on a TRIPOLE seam == single-device chunked
+        (the fold margin becomes a mirror ppermute across X shards)."""
+        cfg, g, topo, f = _setup(rng, ns="tripole")
+        p = dyn.EVPParams.classic(3600.0, ndte=30)
+        r_ref = evp_chunked(3600.0, p, g, topo, K=5, **f)
+
+        fn = lambda gl, tl, **kw: evp_chunked(3600.0, p, gl, tl, K=5, **kw)
+        u, v, sp = jax.jit(_sharded_run(fn, g, f, mesh_shape,
+                                        ns="tripole"))(g, f)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(r_ref.uvel),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(r_ref.vvel),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(sp),
+                                   np.asarray(r_ref.stressp), atol=1e-7)
+
+    def test_tripole_chunked_vs_per_subcycle(self, rng):
+        """Single-device: chunked tripole == per-subcycle tripole evp
+        (both also equal the doubled-domain oracle,
+        test_tripole_oracle.py)."""
+        cfg, g, topo, f = _setup(rng, ns="tripole")
+        p = dyn.EVPParams.classic(3600.0, ndte=30)
+        r_ref = evp(3600.0, p, g, topo, **f)
+        r_chk = evp_chunked(3600.0, p, g, topo, K=5, **f)
+        np.testing.assert_allclose(np.asarray(r_chk.uvel),
+                                   np.asarray(r_ref.uvel), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(r_chk.stressp),
+                                   np.asarray(r_ref.stressp), atol=1e-7)

@@ -100,3 +100,27 @@ class TestShardedDriver:
         st = sm.init_state(ice_mask=np.asarray(sm.grid.tmask))
         st = sm.run(st, nsteps=2)
         assert np.isfinite(np.asarray(st.vicen)).all()
+
+    def test_restore_ice_sharded_matches_single(self):
+        """restore_ice under ShardedModel: the boundary nudge applies to
+        the GLOBAL arrays outside shard_map and must match the
+        single-device trajectory (ice_restoring.F90:527 ice_HaloRestore)."""
+        import dataclasses as dc
+        cfg = _cfg()
+        cfg = cfg.replace(
+            grid=dc.replace(cfg.grid, ew_boundary="open"),
+            forcing=dc.replace(cfg.forcing, restore_ice=True,
+                               trestore=0.5))
+        ref = Model(cfg)
+        st_ref = ref.init_state(ice_mask=np.asarray(ref.grid.tmask))
+        sm = ShardedModel(cfg, mesh_shape=(2, 4))
+        st_s = sm.put(st_ref)
+        st_ref = ref.run(st_ref, 2, log=lambda *a: None)
+        st_s = sm.run(st_s, 2, log=lambda *a: None)
+        np.testing.assert_allclose(np.asarray(st_s.aicen),
+                                   np.asarray(st_ref.aicen), atol=1e-5)
+        # enthalpy tracers are ~1e8 J/m^3: compare relatively (f32 fusion
+        # differences between the two compiled programs are ~4e-7 relative)
+        np.testing.assert_allclose(np.asarray(st_s.trcrn),
+                                   np.asarray(st_ref.trcrn),
+                                   rtol=3e-6, atol=1e-4)
