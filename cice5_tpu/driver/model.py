@@ -177,7 +177,7 @@ def run_loop(m, state, nsteps: int, start_step: int = 0,
              diag_every: int = 0, diag_fn=None, history=None,
              history_dir: str = "history", restart_every: int = 0,
              restart_dir: str = "restart", log=print,
-             check_every: int = 0):
+             check_every: int = 0, dump_last: bool = False):
     """Shared driver time loop for Model and ShardedModel
     (CICE_RunMod.F90:37-90 CICE_Run): step + runtime diagnostics + history
     accumulation/write + restart dumps + state health checks. `m` needs
@@ -243,7 +243,12 @@ def run_loop(m, state, nsteps: int, start_step: int = 0,
                 hist_mod.write_netcdf(history, m.grid, info, fn)
                 log(f"wrote history {fn}")
 
-        if restart_every and ((istep + 1) % restart_every == 0):
+        write_last = dump_last and k == nsteps - 1
+        if (restart_every and ((istep + 1) % restart_every == 0)) \
+                or write_last:
+            # dump_last: always checkpoint at job end regardless of the
+            # periodic schedule (setup_nml dump_last,
+            # input_templates/gx3/ice_in:21)
             fn = os.path.join(
                 restart_dir,
                 f"iced.{info.year:04d}-{info.month:02d}-"

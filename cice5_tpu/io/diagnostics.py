@@ -126,3 +126,33 @@ def check_state(state, grid, tr, nilyr, nslyr, istep=None, log=print):
                             label=f"bad cell ({j},{i})"))
             return False
     return True
+
+
+def nearest_point(grid, lat_deg: float, lon_deg: float):
+    """(j, i) of the ocean T-cell nearest a (lat, lon) in degrees — the
+    latpnt/lonpnt diagnostic-point lookup (init_diags,
+    ice_diagnostics.F90:931-1020 region)."""
+    import numpy as np
+    lat = np.deg2rad(lat_deg)
+    lon = np.deg2rad(lon_deg) % (2.0 * np.pi)
+    TLAT = np.asarray(grid.TLAT)
+    TLON = np.asarray(grid.TLON) % (2.0 * np.pi)
+    dlon = np.abs(TLON - lon)
+    dlon = np.minimum(dlon, 2.0 * np.pi - dlon)
+    # chord distance on the sphere, land masked out
+    d2 = (TLAT - lat) ** 2 + (np.cos(lat) * dlon) ** 2
+    d2 = np.where(np.asarray(grid.hm) > 0.5, d2, np.inf)
+    j, i = np.unravel_index(int(np.argmin(d2)), d2.shape)
+    return int(j), int(i)
+
+
+def print_points_state(state, grid, tr, nilyr, nslyr, latpnts, lonpnts,
+                       label: str = "") -> str:
+    """Column dumps at the diagnostic points nearest each (lat, lon) pair
+    (print_points_state, ice_diagnostics.F90:1466)."""
+    blocks = []
+    for lat, lon in zip(latpnts, lonpnts):
+        j, i = nearest_point(grid, lat, lon)
+        blocks.append(print_state(state, grid, tr, nilyr, nslyr, j, i,
+                                  label=f"{label} pnt({lat},{lon})"))
+    return "\n".join(blocks)

@@ -288,3 +288,33 @@ class TestHistory3D4D:
             vs = np.array(f.variables["Sinz"][:])
             assert vs.shape == (1, cfg.nilyr, cfg.ncat, 12, 16)
             assert vs.max() > 0.1          # bulk salinity present
+
+
+class TestPointDiagsAndDumpLast:
+    def test_print_points_state_nearest(self):
+        """latpnt/lonpnt point dumps find the nearest OCEAN cell
+        (print_points_state, ice_diagnostics.F90:1466)."""
+        from cice5_tpu.io.diagnostics import (nearest_point,
+                                              print_points_state)
+        m = small_model()
+        st = m.init_state(ice_mask=np.asarray(m.grid.tmask))
+        lat = float(np.rad2deg(np.asarray(m.grid.TLAT)[10, 12]))
+        lon = float(np.rad2deg(np.asarray(m.grid.TLON)[10, 12]))
+        j, i = nearest_point(m.grid, lat, lon)
+        assert (j, i) == (10, 12)
+        out = print_points_state(st, m.grid, m.tr, m.cfg.nilyr,
+                                 m.cfg.nslyr, [lat], [lon], label="t")
+        assert "print_state" in out and "cat 0" in out
+
+    def test_dump_last_writes_restart(self, tmp_path):
+        """dump_last checkpoints at job end off the periodic schedule
+        (setup_nml dump_last, input_templates/gx3/ice_in:21)."""
+        m = small_model()
+        st = m.init_state(ice_mask=np.asarray(m.grid.tmask))
+        rd = str(tmp_path / "rst")
+        os.makedirs(rd)
+        m.run(st, nsteps=3, restart_every=2, restart_dir=rd,
+              dump_last=True, log=lambda *a: None)
+        files = [f for f in sorted(os.listdir(rd))
+                 if f.startswith("iced.")]
+        assert len(files) == 2      # periodic @2 + dump_last @3
