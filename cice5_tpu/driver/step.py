@@ -86,6 +86,14 @@ class StepDiag(NamedTuple):
     transport_mono_bad: jnp.ndarray      # 0 unless monotonicity_check
     fsurfn_ai: jnp.ndarray      # (ncat, ny, nx) ai-weighted sfc heat flux
     flatn_ai: jnp.ndarray       # (ncat, ny, nx) ai-weighted latent flux
+    fcondtopn_ai: jnp.ndarray   # (ncat, ny, nx) ai-weighted top conductive
+    fsurf: jnp.ndarray          # cell-mean net surface heat flux
+    fcondtop: jnp.ndarray       # cell-mean top conductive flux
+    Tref: jnp.ndarray           # ai-weighted 2m air temperature (f_Tref)
+    Qref: jnp.ndarray           # ai-weighted 2m specific humidity
+    Uref: jnp.ndarray           # ai-weighted 10m wind speed
+    strength: jnp.ndarray       # ice strength at dynamics time (N/m)
+    prs_sig: jnp.ndarray        # replacement pressure (for sig1/sig2)
     state_bad: jnp.ndarray      # in-step l_stop analog: count of NaN/
     # out-of-bounds state values after this step (0 = healthy)
     faero_ocn: jnp.ndarray   # (n_aero, ny, nx); empty when tr_aero off
@@ -247,7 +255,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
             fbot=fbot, Tbot=Tbot, sss=forcing.sss, hpond=hpnd_in,
             apond=apnd_in, fsurfn_f=fsf, fcondtopn_f=fct, flatn_f=flt,
             fsensn_f=fsn)
-        return res, abl.strx, abl.stry
+        return res, abl.strx, abl.stry, (abl.Tref, abl.Qref, abl.Uref)
 
     if cfg.tracers.tr_pond and cfg.thermo.ktherm == 2:
         hpnd_all = trcrn[:, tr.nt_hpnd]
@@ -265,14 +273,14 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                              fswint, Iswabs, Sswabs, hpnd_in, apnd_in)
 
         with jax.named_scope("vertical_thermo"):
-            tres, strairxn, strairyn = jax.vmap(therm_wrap)(
+            tres, strairxn, strairyn, refn = jax.vmap(therm_wrap)(
                 aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
                 absr.fswsfc, absr.fswint, absr.Iswabs, Sswabsn, hpnd_all,
                 apnd_all)
     else:
         # coupled mode: per-category surface fluxes from the coupler
         # (set_sfcflux, ice_flux.F90:1015)
-        tres, strairxn, strairyn = jax.vmap(therm_one)(
+        tres, strairxn, strairyn, refn = jax.vmap(therm_one)(
             aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
             absr.fswsfc, absr.fswint, absr.Iswabs, Sswabsn, hpnd_all,
             apnd_all, forcing.fsurfn_f, forcing.fcondtopn_f,
@@ -298,6 +306,13 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     meltb = mrg(tres.meltb)
     congel = mrg(tres.congel)
     snoice = mrg(tres.snoice)
+    fsurf_d = mrg(tres.fsurfn)
+    fcondtop_d = mrg(tres.fcondtopn)
+    # 2-m/10-m reference diagnostics (f_Tref/f_Qref/f_Uref accumulation,
+    # ice_step_mod.F90 Tref = Tref + Trefn*aicen)
+    Tref_d = mrg(refn[0])
+    Qref_d = mrg(refn[1])
+    Uref_d = mrg(refn[2])
 
     aicen = tres.aicen
     vicen = tres.vicen
@@ -542,6 +557,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
 
     conserv_err = jnp.zeros((), dtype)
     mono_bad = jnp.zeros((), jnp.int32)
+    strength_d = jnp.zeros((ny, nx), dtype)
+    prs_sig_d = jnp.zeros((ny, nx), dtype)
     if cfg.dyn.kdyn >= 1:
         if cfg.dyn.yield_curve != "ellipse":
             raise NotImplementedError(
@@ -572,6 +589,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                 strength = strength_hibler(agg.aice, agg.vice,
                                            Pstar=cfg.dyn.Pstar,
                                            Cstar=cfg.dyn.Cstar)
+            strength_d = strength
             if cfg.dyn.kdyn == 2:
                 from cice5_tpu.models.dynamics.eap import eap
                 er = eap(dt_dyn, p, grid, topo, aice=agg.aice,
@@ -606,6 +624,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                          stressp=stressp, stressm=stressm,
                          stress12=stress12, iceumask=iceumask, Cw=Cw_ocn)
             uvel, vvel = ev.uvel, ev.vvel
+            prs_sig_d = ev.prs_sig
             stressp, stressm, stress12 = ev.stressp, ev.stressm, ev.stress12
             iceumask = ev.iceumask
             strocnxT, strocnyT = ev.strocnxT, ev.strocnyT
@@ -741,6 +760,10 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         transport_mono_bad=mono_bad,
         fsurfn_ai=w * tres.fsurfn,
         flatn_ai=w * tres.flatn,
+        fcondtopn_ai=w * tres.fcondtopn,
+        fsurf=fsurf_d, fcondtop=fcondtop_d,
+        Tref=Tref_d, Qref=Qref_d, Uref=Uref_d,
+        strength=strength_d, prs_sig=prs_sig_d,
         state_bad=state_bad,
         faero_ocn=(faero_ocn if tcfg.tr_aero
                    else jnp.zeros((0, ny, nx), dtype)),

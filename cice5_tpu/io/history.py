@@ -91,6 +91,21 @@ STANDARD_FIELDS = [
     HistField("sss", "ppt", "sea surface salinity", instantaneous=True),
     HistField("uocn", "m/s", "ocean current (x)", instantaneous=True),
     HistField("vocn", "m/s", "ocean current (y)", instantaneous=True),
+    HistField("melts", "cm/day", "top snow melt"),
+    HistField("fsurf_ai", "W/m^2", "net surface heat flux"),
+    HistField("fcondtop_ai", "W/m^2", "top surface conductive heat flux"),
+    HistField("Tref", "C", "2m reference air temperature"),
+    HistField("Qref", "g/kg", "2m reference specific humidity"),
+    HistField("Uref", "m/s", "10m reference wind speed"),
+    HistField("strength", "N/m", "compressive ice strength",
+              instantaneous=True),
+    HistField("sig1", "1", "normalized principal stress component 1",
+              instantaneous=True),
+    HistField("sig2", "1", "normalized principal stress component 2",
+              instantaneous=True),
+    HistField("trsig", "N/m", "internal stress tensor trace",
+              instantaneous=True),
+    HistField("ice_present", "1", "fraction of time-avg interval with ice"),
 ]
 
 # per-category fields (a3Dc class; f_aicen/f_vicen/... flags,
@@ -104,6 +119,8 @@ CAT_FIELDS = [
               dims="3Dc"),
     HistField("flatn_ai", "W/m^2", "latent heat flux, categories",
               dims="3Dc"),
+    HistField("fcondtopn_ai", "W/m^2",
+              "top conductive heat flux, categories", dims="3Dc"),
     HistField("apondn", "1", "melt pond fraction, categories", dims="3Dc"),
     HistField("hpondn", "m", "melt pond depth, categories", dims="3Dc"),
     HistField("ipondn", "m", "pond lid thickness, categories", dims="3Dc"),
@@ -393,8 +410,35 @@ def diag_to_values(diag, state, grid, tr=None, forcing=None,
         "strairy": diag.strairyT, "strocny": state.strocnyT,
         "fpond": diag.fpond,
         "PP_net": diag.PP_net, "grow_net": diag.grow_net,
-    } | _tracer_values(state, tr) \
+        "melts": diag.melts * m_to_cmday,
+        "fsurf_ai": diag.fsurf, "fcondtop_ai": diag.fcondtop,
+        # Tref is the ai-weighted sum of Kelvin 2m temperatures
+        # (sum aicen*Trefn); subtracting Tffresh*aice yields the
+        # ai-weighted CELSIUS temperature without an aice<1 bias
+        "Tref": diag.Tref - ct.Tffresh * aice,
+        "Qref": diag.Qref * 1000.0,
+        "Uref": diag.Uref,
+        "strength": diag.strength,
+        "ice_present": (aice > ct.puny).astype(aice.dtype),
+    } | _principal_stress(state, diag) | _tracer_values(state, tr) \
       | _category_values(diag, state, tr, nilyr, nslyr)
+
+
+def _principal_stress(state, diag) -> dict:
+    """Normalized principal stresses + stress trace from the corner-1
+    stress state (principal_stress, ice_dyn_shared.F90:611-659; f_sig1/
+    f_sig2/f_trsig accumulation, ice_history.F90 dynamic-fields block)."""
+    import jax.numpy as jnp
+    sp, sm, s12 = state.stressp[0], state.stressm[0], state.stress12[0]
+    prs = diag.prs_sig
+    root = jnp.sqrt(sm * sm + 4.0 * s12 * s12)
+    safe = jnp.where(prs > ct.puny, prs, 1.0)
+    ok = prs > ct.puny
+    return {
+        "sig1": jnp.where(ok, 0.5 * (sp + root) / safe, 0.0),
+        "sig2": jnp.where(ok, 0.5 * (sp - root) / safe, 0.0),
+        "trsig": 0.25 * jnp.sum(state.stressp, axis=0),
+    }
 
 
 def _category_values(diag, state, tr, nilyr, nslyr) -> dict:
@@ -410,6 +454,7 @@ def _category_values(diag, state, tr, nilyr, nslyr) -> dict:
         "aicen": state.aicen, "vicen": state.vicen, "vsnon": state.vsnon,
         "Tsfcn": trcrn[:, tr.nt_Tsfc],
         "fsurfn_ai": diag.fsurfn_ai, "flatn_ai": diag.flatn_ai,
+        "fcondtopn_ai": diag.fcondtopn_ai,
     }
     # vertical profiles: (ncat, nk, ny, nx) -> (nk, ncat, ny, nx)
     zqin = trcrn[:, tr.nt_qice:tr.nt_qice + nilyr]

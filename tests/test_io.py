@@ -318,3 +318,50 @@ class TestPointDiagsAndDumpLast:
         files = [f for f in sorted(os.listdir(rd))
                  if f.startswith("iced.")]
         assert len(files) == 2      # periodic @2 + dump_last @3
+
+
+class TestExtendedCatalog:
+    def test_new_diagnostic_fields_roundtrip(self, tmp_path):
+        """Tref/Qref/Uref, fsurf/fcondtop, principal stresses, strength,
+        ice_present, melts and fcondtopn_ai flow from the step into a
+        written history file (f_* catalog growth,
+        ice_history_shared.F90:186-358)."""
+        from scipy.io import netcdf_file
+
+        from cice5_tpu.io import history as hist_mod
+        m = small_model()
+        st = m.init_state(ice_mask=np.asarray(m.grid.tmask))
+        stream = HistoryStream(
+            hist_mod.available_fields(m.cfg, m.tr), freq="1", freq_n=2)
+        for k in range(2):
+            f = m.forcing_at(k)
+            st, diag = m.step(st, f)
+            stream.accum(hist_mod.diag_to_values(
+                diag, st, m.grid, m.tr, f, m.cfg.nilyr, m.cfg.nslyr),
+                (k + 1) * 3600.0)
+        info = m.calendar.info(2, 3600.0)
+        p = str(tmp_path / "iceh_ext.nc")
+        hist_mod.write_netcdf(stream, m.grid, info, p)
+        with netcdf_file(p, "r", mmap=False) as fh:
+            tmask = np.asarray(m.grid.hm) > 0.5
+            icy = np.asarray(fh.variables["aice"][0]) > 0.5
+            tref = np.asarray(fh.variables["Tref"][0])
+            # ai-weighted 2m temperature ~ Tair*aice over full ice
+            assert np.isfinite(tref[tmask]).all()
+            assert (np.abs(tref[icy]
+                           - np.asarray(fh.variables["Tair"][0])[icy])
+                    < 15.0).all()
+            strength = np.asarray(fh.variables["strength"][0])
+            assert (strength[icy] > 0.0).all()
+            sig1 = np.asarray(fh.variables["sig1"][0])
+            sig2 = np.asarray(fh.variables["sig2"][0])
+            assert np.isfinite(sig1).all() and np.isfinite(sig2).all()
+            # normalized principal stresses stay O(1) on the yield curve
+            assert np.abs(sig1[icy]).max() < 3.0
+            pres = np.asarray(fh.variables["ice_present"][0])
+            assert pres[icy].min() > 0.99
+            fct = np.asarray(fh.variables["fcondtopn_ai"][0])
+            assert fct.shape[0] == m.cfg.ncat
+            assert np.isfinite(fct).all()
+            fsurf = np.asarray(fh.variables["fsurf_ai"][0])
+            assert np.isfinite(fsurf[tmask]).all()
