@@ -91,6 +91,11 @@ class DynConfig:
     advection: str = "remap"         # remap | upwind | none
     conserv_check: bool = False      # transport global conservation check
     monotonicity_check: bool = False # transport monotone-remap check
+    # remap transport-integrals execution kernel: "auto" uses the fused
+    # Pallas row-tile kernel (ops/pallas/remap_flux.py) on TPU backends,
+    # the XLA path elsewhere; "xla"/"pallas" force one. Same math either
+    # way (_integrals runs inside the kernel on VMEM tiles).
+    remap_kernel: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -112,6 +117,12 @@ class ShortwaveConfig:
     kalg: float = 0.6
     # constant albedos (albedo_type=constant)
     albedo_const: float = 0.78
+    # dEdd execution kernel: "auto" uses the fused Pallas column kernel
+    # (ops/pallas/dedd_fused.py) on TPU backends and the XLA path
+    # elsewhere; "xla"/"pallas" force one. Same physics code either way
+    # (the kernel body calls shortwave_dEdd on VMEM tiles); outputs agree
+    # to f32 fusion-order rounding (~1e-4 relative).
+    sw_kernel: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -171,20 +171,29 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         pond_scheme = ("topo" if cfg.tracers.tr_pond_topo
                        else "lvl" if cfg.tracers.tr_pond_lvl else "cesm")
 
-        def rad_one_dedd(aic, vic, vsn, tsf, ap, hp):
-            return shortwave_dEdd(
-                nilyr=nilyr, nslyr=nslyr, aicen=aic, vicen=vic, vsnon=vsn,
-                Tsfcn=tsf, apnd=ap, hpnd=hp, coszen=forcing.coszen,
-                fnidr=fnidr, swvdr=forcing.swvdr, swvdf=forcing.swvdf,
-                swidr=forcing.swidr, swidf=forcing.swidf,
-                R_ice=sw.R_ice, R_pnd=sw.R_pnd, R_snw=sw.R_snw,
-                dT_mlt=sw.dT_mlt, rsnw_mlt=sw.rsnw_mlt, kalg=sw.kalg,
-                hs0=cfg.tracers.hs0, hs1=cfg.tracers.hs1,
-                pndaspect=cfg.tracers.pndaspect, pond_scheme=pond_scheme)
-
+        dedd_kw = dict(
+            nilyr=nilyr, nslyr=nslyr, coszen=forcing.coszen,
+            fnidr=fnidr, swvdr=forcing.swvdr, swvdf=forcing.swvdf,
+            swidr=forcing.swidr, swidf=forcing.swidf,
+            R_ice=sw.R_ice, R_pnd=sw.R_pnd, R_snw=sw.R_snw,
+            dT_mlt=sw.dT_mlt, rsnw_mlt=sw.rsnw_mlt, kalg=sw.kalg,
+            hs0=cfg.tracers.hs0, hs1=cfg.tracers.hs1,
+            pndaspect=cfg.tracers.pndaspect, pond_scheme=pond_scheme)
+        use_pallas_sw = (sw.sw_kernel == "pallas"
+                         or (sw.sw_kernel == "auto"
+                             and jax.default_backend() == "tpu"))
         with jax.named_scope("sw_radiation_dEdd"):
-            de = jax.vmap(rad_one_dedd)(aicen, vicen, vsnon, Tsfcn,
-                                        apnd_r, hpnd_r)
+            if use_pallas_sw:
+                from cice5_tpu.ops.pallas.dedd_fused import (
+                    shortwave_dEdd_tiled)
+                de = shortwave_dEdd_tiled(
+                    aicen=aicen, vicen=vicen, vsnon=vsnon, Tsfcn=Tsfcn,
+                    apnd=apnd_r, hpnd=hpnd_r, **dedd_kw)
+            else:
+                de = jax.vmap(lambda a, v, s, t, p, h: shortwave_dEdd(
+                    aicen=a, vicen=v, vsnon=s, Tsfcn=t, apnd=p, hpnd=h,
+                    **dedd_kw))(aicen, vicen, vsnon, Tsfcn, apnd_r,
+                                hpnd_r)
         from cice5_tpu.models.radiation.ccsm3 import Albedos, AbsorbedSolar
         zc = jnp.zeros_like(aicen)
         alb = Albedos(alvdrn=de.alvdrn, alidrn=de.alidrn, alvdfn=de.alvdfn,
@@ -639,10 +648,14 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
             elif cfg.dyn.advection == "remap":
                 from cice5_tpu.models.transport.remap import transport_remap
                 chk = (cfg.dyn.conserv_check, cfg.dyn.monotonicity_check)
+                use_pallas_rm = (cfg.dyn.remap_kernel == "pallas"
+                                 or (cfg.dyn.remap_kernel == "auto"
+                                     and jax.default_backend() == "tpu"))
                 out = transport_remap(
                     dt_dyn, grid, topo, tr, uvel=uvel, vvel=vvel,
                     aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
-                    conserv_check=chk[0], monotonicity_check=chk[1])
+                    conserv_check=chk[0], monotonicity_check=chk[1],
+                    kernel="pallas" if use_pallas_rm else "xla")
                 if any(chk):
                     aicen, vicen, vsnon, trcrn, tchk = out
                     conserv_err = jnp.maximum(conserv_err,

@@ -25,6 +25,7 @@ import math
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cice5_tpu import constants as ct
@@ -833,9 +834,15 @@ def shortwave_dEdd(*, nilyr, nslyr, aicen, vicen, vsnon, Tsfcn, apnd, hpnd,
                         mu0n_below)] * n_pint
 
     shape_ref = jnp.zeros((NSPINT,) + B, dtype)
-    # open-ocean albedo under the ice: 0.01 visible, 0 near-IR (per band)
-    albo = jnp.asarray([0.01, 0.0, 0.0], dtype).reshape(
-        (NSPINT,) + (1,) * len(B))
+    # open-ocean albedo under the ice: 0.01 visible, 0 near-IR (per band).
+    # Built from a broadcast iota (not a literal constant array, not a
+    # rank-changing reshape) so this function can run inside a Pallas
+    # kernel body (ops/pallas/dedd_fused.py): Mosaic forbids captured
+    # array constants and 1-D -> (N,1,1) vector shape casts.
+    band = jax.lax.broadcasted_iota(jnp.int32, (NSPINT,) + (1,) * len(B),
+                                    0)
+    albo = jnp.where(band == 0, jnp.asarray(0.01, dtype),
+                     jnp.asarray(0.0, dtype))
     solA = _adding(props_bare, albo, albo, shape_ref)
     solS = _adding(props_snow, albo, albo, shape_ref)
     solP = _adding(props_pond, albo, albo, shape_ref)

@@ -418,8 +418,8 @@ class RemapFluxes(NamedTuple):
     # (ntrace, nyr, nxr) materialization
 
 
-def _integrals(g: Geometry, views_mc, views_mx, views_my, views_tc,
-               views_tx, views_ty, tracer_type, parent):
+def _integrals(donor, triarea, qx, qy, views_mc, views_mx, views_my,
+               views_tc, views_tx, views_ty, tracer_type, parent):
     """Quadratic transport integrals over all triangles
     (transport_integrals :3199-3512, integral_order=2).
 
@@ -432,16 +432,22 @@ def _integrals(g: Geometry, views_mc, views_mx, views_my, views_tc,
     arrays — no (NGROUPS, ntrace) intermediates at all. Dependent (type-2/3)
     tracers get weight sets built from their parent's per-group sums (only
     the few distinct parents are expanded per group).
+
+    Takes the geometry as plain arrays (donor codes, signed areas, and the
+    3-point quadrature midpoints qx/qy from _triangle_midpoints) so the
+    SAME function runs both as the XLA path and inside the fused Pallas
+    row-tile kernel (ops/pallas/remap_flux.py), where the views are VMEM
+    slices.
     """
-    qx, qy = _triangle_midpoints(g)          # (NGROUPS, 3, nyr, nxr)
-    mc_d = _donor_select(g.donor, views_mc)  # (NGROUPS, nyr, nxr)
-    mx_d = _donor_select(g.donor, views_mx)
-    my_d = _donor_select(g.donor, views_my)
+    g_donor, ta = donor, triarea
+    mc_d = _donor_select(g_donor, views_mc)  # (NGROUPS, nyr, nxr)
+    mx_d = _donor_select(g_donor, views_mx)
+    my_d = _donor_select(g_donor, views_my)
 
     P333 = 1.0 / 3.0
     mq = P333 * (mc_d[:, None] + qx * mx_d[:, None] + qy * my_d[:, None])
     msum = jnp.sum(mq, axis=1)                       # (NGROUPS, nyr, nxr)
-    mflx = jnp.sum(g.triarea * msum, axis=0)
+    mflx = jnp.sum(ta * msum, axis=0)
 
     mxsum = jnp.sum(mq * qx, axis=1)
     mysum = jnp.sum(mq * qy, axis=1)
@@ -450,8 +456,7 @@ def _integrals(g: Geometry, views_mc, views_mx, views_my, views_tc,
     myysum = jnp.sum(mq * qy * qy, axis=1)
 
     codes = list(views_tc.keys())
-    onehot = {v: (g.donor == v) for v in codes}      # (NGROUPS, nyr, nxr)
-    ta = g.triarea
+    onehot = {v: (g_donor == v) for v in codes}      # (NGROUPS, nyr, nxr)
 
     def wmaps(cg, xg=None, yg=None):
         """Per-view weights sum_g triarea*coeff*[donor==v] for the c/x/y
@@ -466,7 +471,7 @@ def _integrals(g: Geometry, views_mc, views_mx, views_my, views_tc,
     W1 = wmaps(msum, mxsum, mysum)                   # for type-1 tracers
 
     def donor_one(views, nt):
-        return _donor_select(g.donor, {v: a[nt] for v, a in views.items()})
+        return _donor_select(g_donor, {v: a[nt] for v, a in views.items()})
 
     # per-group sums for the distinct parents of dependent tracers
     ntrace = next(iter(views_tc.values())).shape[0]
@@ -596,10 +601,9 @@ def remap_geometry(dt, grid, topo: Topology, *, uvel, vvel,
     return RemapGeometry(north=gn, east=ge)
 
 
-def remap_fields(grid, topo: Topology, geom: RemapGeometry, *, mm, tm,
-                 tracer_type, parent):
-    """construct_fields + integrals + update for one mass field + tracers."""
-    ny, nx = mm.shape
+def _reconstruct(grid, topo: Topology, *, mm, tm, tracer_type, parent):
+    """Limited linear reconstructions of the mass field + tracers
+    (construct_fields :1024-1316). Returns (mc, mx, my, tc, tx, ty)."""
     hm = grid.hm
 
     # --- construct linear reconstructions (construct_fields :1024-1316) ---
@@ -664,33 +668,17 @@ def remap_fields(grid, topo: Topology, geom: RemapGeometry, *, mm, tm,
     tc_all = jnp.stack(tcs)
     tx_all = jnp.stack(txs)
     ty_all = jnp.stack(tys)
+    return mc, mx, my, tc_all, tx_all, ty_all
 
-    # --- extended fields for donor views ---
-    mcE = extend(mc, topo)
-    mxE = extend(mx, topo, kind=FieldType.VECTOR)
-    myE = extend(my, topo, kind=FieldType.VECTOR)
-    tcE = extend(tc_all, topo)
-    txE = extend(tx_all, topo, kind=FieldType.VECTOR)
-    tyE = extend(ty_all, topo, kind=FieldType.VECTOR)
 
-    fn = _integrals(geom.north,
-                    _nbr_views_north(mcE, ny, nx),
-                    _nbr_views_north(mxE, ny, nx),
-                    _nbr_views_north(myE, ny, nx),
-                    _nbr_views_north(tcE, ny, nx),
-                    _nbr_views_north(txE, ny, nx),
-                    _nbr_views_north(tyE, ny, nx),
-                    tracer_type, parent)
-    fe = _integrals(geom.east,
-                    _nbr_views_east(mcE, ny, nx),
-                    _nbr_views_east(mxE, ny, nx),
-                    _nbr_views_east(myE, ny, nx),
-                    _nbr_views_east(tcE, ny, nx),
-                    _nbr_views_east(txE, ny, nx),
-                    _nbr_views_east(tyE, ny, nx),
-                    tracer_type, parent)
+def _update(grid, *, mm, tm, fe_mflx, fe_mtflx, fn_mflx, fn_mtflx,
+            tracer_type, parent):
+    """Divergence update of mass + tracers (update_fields :3517-3730).
 
-    # --- update (update_fields :3517-3730) ---
+    fe_mtflx / fn_mtflx: per-tracer edge fluxes, indexable by tracer
+    (a tuple of (nyr, nxr) arrays from the XLA path, or one stacked
+    (ntrace, nyr, nxr) array from the Pallas kernel)."""
+    ntrace = tm.shape[0]
     mtold = []
     for nt in range(ntrace):
         w = mm * tm[nt]
@@ -701,16 +689,16 @@ def remap_fields(grid, topo: Topology, geom: RemapGeometry, *, mm, tm,
                 w = w * tm[parent[p]]
         mtold.append(w)
 
-    div_m = (fe.mflx[:, 1:] - fe.mflx[:, :-1]
-             + fn.mflx[1:, :] - fn.mflx[:-1, :])
+    div_m = (fe_mflx[:, 1:] - fe_mflx[:, :-1]
+             + fn_mflx[1:, :] - fn_mflx[:-1, :])
     mm_new = jnp.maximum(mm - div_m * grid.tarear, 0.0)
     mm_new = jnp.where(grid.tmask, mm_new, 0.0)
 
     tms = []
     pos = mm_new > 0.0
     for nt in range(ntrace):
-        w1 = (fe.mtflx[nt][:, 1:] - fe.mtflx[nt][:, :-1]
-              + fn.mtflx[nt][1:, :] - fn.mtflx[nt][:-1, :])
+        w1 = (fe_mtflx[nt][:, 1:] - fe_mtflx[nt][:, :-1]
+              + fn_mtflx[nt][1:, :] - fn_mtflx[nt][:-1, :])
         mt_new = mtold[nt] - w1 * grid.tarear
         if tracer_type[nt] == 1:
             den = mm_new
@@ -723,6 +711,87 @@ def remap_fields(grid, topo: Topology, geom: RemapGeometry, *, mm, tm,
     return mm_new, jnp.stack(tms)
 
 
+def remap_fields(grid, topo: Topology, geom: RemapGeometry, *, mm, tm,
+                 tracer_type, parent):
+    """construct_fields + integrals + update for one mass field + tracers."""
+    ny, nx = mm.shape
+    mc, mx, my, tc_all, tx_all, ty_all = _reconstruct(
+        grid, topo, mm=mm, tm=tm, tracer_type=tracer_type, parent=parent)
+
+    # --- extended fields for donor views ---
+    mcE = extend(mc, topo)
+    mxE = extend(mx, topo, kind=FieldType.VECTOR)
+    myE = extend(my, topo, kind=FieldType.VECTOR)
+    tcE = extend(tc_all, topo)
+    txE = extend(tx_all, topo, kind=FieldType.VECTOR)
+    tyE = extend(ty_all, topo, kind=FieldType.VECTOR)
+
+    qxn, qyn = _triangle_midpoints(geom.north)
+    qxe, qye = _triangle_midpoints(geom.east)
+    fn = _integrals(geom.north.donor, geom.north.triarea, qxn, qyn,
+                    _nbr_views_north(mcE, ny, nx),
+                    _nbr_views_north(mxE, ny, nx),
+                    _nbr_views_north(myE, ny, nx),
+                    _nbr_views_north(tcE, ny, nx),
+                    _nbr_views_north(txE, ny, nx),
+                    _nbr_views_north(tyE, ny, nx),
+                    tracer_type, parent)
+    fe = _integrals(geom.east.donor, geom.east.triarea, qxe, qye,
+                    _nbr_views_east(mcE, ny, nx),
+                    _nbr_views_east(mxE, ny, nx),
+                    _nbr_views_east(myE, ny, nx),
+                    _nbr_views_east(tcE, ny, nx),
+                    _nbr_views_east(txE, ny, nx),
+                    _nbr_views_east(tyE, ny, nx),
+                    tracer_type, parent)
+
+    return _update(grid, mm=mm, tm=tm, fe_mflx=fe.mflx,
+                   fe_mtflx=fe.mtflx, fn_mflx=fn.mflx, fn_mtflx=fn.mtflx,
+                   tracer_type=tracer_type, parent=parent)
+
+
+def remap_fields_batch(grid, topo: Topology, geom: RemapGeometry, *, mm,
+                       tm, tracer_type, parent, interpret=False):
+    """remap_fields over all categories with the integrals as ONE fused
+    Pallas row-tile kernel per edge (ops/pallas/remap_flux.py).
+
+    mm: (ncat, ny, nx); tm: (ncat, ntrace, ny, nx). The XLA _integrals
+    path reads the 12-MB extended tracer stacks once per donor view per
+    coefficient (18 shifted HBM passes per edge per category, the
+    dominant cost of the remap at gx1 size); the kernel holds a row tile
+    of the stacks in VMEM and builds every view from it for free.
+    """
+    from cice5_tpu.ops.pallas.remap_flux import integrals_tiled
+    ny, nx = mm.shape[-2:]
+    rec = jax.vmap(lambda m, t: _reconstruct(
+        grid, topo, mm=m, tm=t, tracer_type=tracer_type,
+        parent=parent))(mm, tm)
+    mc, mx, my, tc_all, tx_all, ty_all = rec
+
+    mcE = extend(mc, topo)
+    mxE = extend(mx, topo, kind=FieldType.VECTOR)
+    myE = extend(my, topo, kind=FieldType.VECTOR)
+    tcE = extend(tc_all, topo)
+    txE = extend(tx_all, topo, kind=FieldType.VECTOR)
+    tyE = extend(ty_all, topo, kind=FieldType.VECTOR)
+
+    qxn, qyn = _triangle_midpoints(geom.north)
+    qxe, qye = _triangle_midpoints(geom.east)
+    fn_mflx, fn_mtflx = integrals_tiled(
+        "north", geom.north.donor, geom.north.triarea, qxn, qyn,
+        mcE, mxE, myE, tcE, txE, tyE, tracer_type, parent, ny, nx,
+        interpret=interpret)
+    fe_mflx, fe_mtflx = integrals_tiled(
+        "east", geom.east.donor, geom.east.triarea, qxe, qye,
+        mcE, mxE, myE, tcE, txE, tyE, tracer_type, parent, ny, nx,
+        interpret=interpret)
+
+    return jax.vmap(lambda m, t, fem, femt, fnm, fnmt: _update(
+        grid, mm=m, tm=t, fe_mflx=fem, fe_mtflx=femt, fn_mflx=fnm,
+        fn_mtflx=fnmt, tracer_type=tracer_type, parent=parent))(
+        mm, tm, fe_mflx, fe_mtflx, fn_mflx, fn_mtflx)
+
+
 class TransportChecks(NamedTuple):
     """Runtime transport diagnostics (ice_transport_driver.F90:123-174
     abort-on-violation checks, surfaced as diag values)."""
@@ -733,7 +802,7 @@ class TransportChecks(NamedTuple):
 def transport_remap(dt, grid, topo: Topology, tr: TracerRegistry, *, uvel,
                     vvel, aicen, vicen, vsnon, trcrn,
                     conserv_check=False, monotonicity_check=False,
-                    fixed_area=False):
+                    fixed_area=False, kernel="xla"):
     """Full-state incremental remapping (transport_remap :198-630 +
     state_to_tracers/tracers_to_state): mass field = aicen per category;
     tracers = [hice, hsno, trcrn...] with the reference's dependency table.
@@ -817,7 +886,12 @@ def transport_remap(dt, grid, topo: Topology, tr: TracerRegistry, *, uvel,
                                        tuple(parent), topo)
         tmin, tmax = jax.vmap(bounds_one)(aicen, tm)
 
-    mm_new, tm_new = jax.vmap(one_cat)(aicen, tm)
+    if kernel == "pallas":
+        mm_new, tm_new = remap_fields_batch(
+            grid, topo, geom, mm=aicen, tm=tm,
+            tracer_type=tuple(tracer_type), parent=tuple(parent))
+    else:
+        mm_new, tm_new = jax.vmap(one_cat)(aicen, tm)
 
     aicen_n = mm_new
     hice_n = tm_new[:, inv[0]]
