@@ -70,7 +70,9 @@ class DynConfig:
     """Dynamics / ridging options (ice_init.F90 dynamics_nml; ice_dyn_shared.F90:31-81)."""
     kdyn: int = 1                    # 0=off, 1=EVP, 2=EAP
     ndte: int = 120                  # EVP subcycles per dynamics step
-    evp_algorithm: str = "xla"       # xla | pallas (fused VMEM subcycles)
+    evp_algorithm: str = "auto"      # auto (= resident on one TPU device,
+    # xla otherwise) | xla | resident (all ndte subcycles in ONE Pallas
+    # call, working set held in VMEM) | pallas (fused VMEM subcycles)
     # | chunked (K subcycles per halo exchange — comm/compute overlap)
     evp_chunk: int = 10              # subcycles per margin exchange (chunked)
     revised_evp: bool = False        # Bouillon-13 revised EVP (ice_dyn_shared.F90:230)

@@ -618,6 +618,12 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                         and topo.ns not in ("tripole", "tripoleT")):
                     from cice5_tpu.ops.pallas.evp_fused import evp_fused
                     evp_fn = evp_fused
+                elif (cfg.dyn.evp_algorithm in ("auto", "resident")
+                        and not topo.sharded
+                        and jax.default_backend() == "tpu"):
+                    # whole-sweep VMEM residency (evp_resident.py)
+                    from functools import partial
+                    evp_fn = partial(evp, resident=True)
                 elif (cfg.dyn.evp_algorithm == "chunked"
                         and topo.ns != "tripoleT"):
                     # comm/compute-overlapped subcycling: ndte/K margin

@@ -313,10 +313,43 @@ def _extend_stress(stress0, topo):
     return jnp.concatenate([E1[:, :-1, :], north], axis=1)[:, 1:, 1:]
 
 
+def subcycle_sweep(p: dyn.EVPParams, ndte: int, topo: Topology, *, uvel,
+                   vvel, stressR, maskR, strengthR, gR, icem_u, aiu, uocn,
+                   vocn, waterx, watery, forcex, forcey, umassdti, fm,
+                   uarear, uvel_init, vvel_init, Cw):
+    """The ndte-iteration EVP stress/momentum subcycling
+    (ice_dyn_evp.F90:336-410) as a pure function of the prepared fields.
+
+    Shared by the XLA fori_loop path and the VMEM-resident Pallas kernel
+    (ops/pallas/evp_resident.py), which runs this exact function on
+    VMEM-held arrays. Returns (u, v, stressR, diags) where diags =
+    (divuR, shearR, rdg_convR, rdg_shearR, prs_sigR, strintx, strinty).
+    """
+    def body(k, carry):
+        u, v, stress, _ = carry
+        uvE = extend(jnp.stack([u, v]), topo, loc=FieldLoc.NECORNER,
+                     kind=FieldType.VECTOR)
+        r = stress_kernel(p, uvE[0], uvE[1], stress, maskR=maskR,
+                          strengthR=strengthR, gR=gR)
+        s = dyn.stepu(p, icemask=icem_u, aiu=aiu, strE=r.str8, uocn=uocn,
+                      vocn=vocn, waterx=waterx, watery=watery,
+                      forcex=forcex, forcey=forcey, umassdti=umassdti,
+                      fm=fm, uarear=uarear, uvel_init=uvel_init,
+                      vvel_init=vvel_init, uvel=u, vvel=v, Cw=Cw)
+        return (s.uvel, s.vvel, r.stress,
+                (r.divu, r.shear, r.rdg_conv, r.rdg_shear, r.prs_sig,
+                 s.strintx, s.strinty))
+    zR = jnp.zeros(maskR.shape, uvel.dtype)
+    z2 = jnp.zeros_like(uvel)
+    init = (uvel, vvel, stressR, (zR, zR, zR, zR, zR, z2, z2))
+    return jax.lax.fori_loop(0, ndte, body, init)
+
+
 def evp(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
         strength, strairxT, strairyT, uocn, vocn, uvel, vvel,
         stressp, stressm, stress12, iceumask,
-        ss_tltx=None, ss_tlty=None, Cw=ct.dragio) -> EVPResult:
+        ss_tltx=None, ss_tlty=None, Cw=ct.dragio,
+        resident: bool = False) -> EVPResult:
     """EVP dynamics driver (ice_dyn_evp.F90:68-517 evp).
 
     stressp/stressm/stress12: (4, ny, nx) from State. strength: T-grid ice
@@ -372,24 +405,17 @@ def evp(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
     stressR = jnp.where(maskR[None], stressR, 0.0)
 
     # --- subcycling loop (ice_dyn_evp.F90:336-410) ---
-    def body(k, carry):
-        u, v, stress, _ = carry
-        uvE = extend(jnp.stack([u, v]), topo, loc=FieldLoc.NECORNER,
-                     kind=FieldType.VECTOR)
-        r = stress_kernel(p, uvE[0], uvE[1], stress, maskR=maskR,
-                          strengthR=strengthR, gR=gR)
-        s = dyn.stepu(p, icemask=icem_u, aiu=aiu, strE=r.str8, uocn=uocn,
-                      vocn=vocn, waterx=waterx, watery=watery, forcex=forcex,
-                      forcey=forcey, umassdti=umassdti, fm=fm,
-                      uarear=grid.uarear, uvel_init=uvel_init,
-                      vvel_init=vvel_init, uvel=u, vvel=v, Cw=Cw)
-        return (s.uvel, s.vvel, r.stress,
-                (r.divu, r.shear, r.rdg_conv, r.rdg_shear, r.prs_sig,
-                 s.strintx, s.strinty))
-    zR = jnp.zeros_like(maskR, dtype=aice.dtype)
-    z2 = jnp.zeros_like(uvel)
-    init = (uvel, vvel, stressR, (zR, zR, zR, zR, zR, z2, z2))
-    u, v, stressR, diags = jax.lax.fori_loop(0, p.ndte, body, init)
+    sweep_kw = dict(uvel=uvel, vvel=vvel, stressR=stressR, maskR=maskR,
+                    strengthR=strengthR, gR=gR, icem_u=icem_u, aiu=aiu,
+                    uocn=uocn, vocn=vocn, waterx=waterx, watery=watery,
+                    forcex=forcex, forcey=forcey, umassdti=umassdti,
+                    fm=fm, uarear=grid.uarear, uvel_init=uvel_init,
+                    vvel_init=vvel_init, Cw=Cw)
+    if resident:
+        from cice5_tpu.ops.pallas.evp_resident import sweep_resident
+        u, v, stressR, diags = sweep_resident(p, p.ndte, topo, **sweep_kw)
+    else:
+        u, v, stressR, diags = subcycle_sweep(p, p.ndte, topo, **sweep_kw)
     divuR, shearR, rconvR, rshearR, prsR, strintx, strinty = diags
 
     strocnx, strocny, sTx_u, sTy_u = dyn.evp_finish(

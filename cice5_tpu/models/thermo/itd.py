@@ -162,6 +162,64 @@ def aggregate(tr: TracerRegistry, aicen, vicen, vsnon, trcrn) -> Aggregate:
 # shift_ice (ice_itd.F90:815-1243)
 # ----------------------------------------------------------------------
 
+def _shift_boundary(tr: TracerRegistry, pair, t_lo, t_hi, lo_is_donor,
+                    active, da, dv):
+    """One category-boundary transfer (ice_itd.F90:905-1130 core).
+
+    pair: 8-tuple (a_lo, a_hi, v_lo, v_hi, s_lo, s_hi, at_lo, at_hi) of
+    the lower/upper category's area, ice volume, snow volume, and
+    conserved tracer amounts (ntrcr, *B). t_lo/t_hi: tracer VALUES used
+    for the transferred amounts (the reference reads pre-shift trcrn).
+    lo_is_donor/active: (*B) bool; da/dv: raw area/volume to move.
+    Returns the updated 8-tuple.
+    """
+    a_lo, a_hi, v_lo, v_hi, s_lo, s_hi, at_lo, at_hi = pair
+    a_nd = jnp.where(lo_is_donor, a_lo, a_hi)
+    v_nd = jnp.where(lo_is_donor, v_lo, v_hi)
+
+    # range snapping (ice_itd.F90:905-1032): tiny -> zero, near-full ->
+    # whole category
+    tiny = (da < -ct.puny * a_nd) | (dv < -ct.puny * v_nd)
+    da = jnp.where((da < 0) & ~tiny, 0.0, da)
+    dv = jnp.where((dv < 0) & ~tiny, 0.0, dv)
+    whole = (da > a_nd * (1.0 - ct.puny)) | (dv > v_nd * (1.0 - ct.puny))
+    da = jnp.where(whole, a_nd, da)
+    dv = jnp.where(whole, v_nd, dv)
+    active = active & (da > 0.0)
+    da = jnp.where(active, da, 0.0)
+    dv = jnp.where(active, dv, 0.0)
+
+    frac = jnp.where(active, da / jnp.maximum(a_nd, ct.puny), 0.0)
+    s_nd = jnp.where(lo_is_donor, s_lo, s_hi)
+    dvs = s_nd * frac
+
+    # signed deltas for the two categories at this boundary
+    sgn_lo = jnp.where(lo_is_donor, -1.0, 1.0)
+    a_lo = a_lo + sgn_lo * da
+    a_hi = a_hi - sgn_lo * da
+    v_lo = v_lo + sgn_lo * dv
+    v_hi = v_hi - sgn_lo * dv
+    s_lo = s_lo + sgn_lo * dvs
+    s_hi = s_hi - sgn_lo * dvs
+
+    # tracer amounts from the donor category
+    t_nd = jnp.where(lo_is_donor[None], t_lo, t_hi)
+    dats = []
+    for it in range(tr.ntrcr):
+        # walk the parent chain: amount = base(root) * prod(parents) * t
+        amt = t_nd[it]
+        q = it
+        while tr.depend[q] >= DEP_TRCR:
+            q = tr.depend[q] - DEP_TRCR
+            amt = amt * t_nd[q]
+        base = {DEP_AICE: da, DEP_VICE: dv, DEP_VSNO: dvs}[tr.depend[q]]
+        dats.append(base * amt)
+    dat = jnp.stack(dats, axis=0)                 # (ntrcr, *B)
+    at_lo = at_lo + sgn_lo[None] * dat
+    at_hi = at_hi - sgn_lo[None] * dat
+    return a_lo, a_hi, v_lo, v_hi, s_lo, s_hi, at_lo, at_hi
+
+
 def shift_ice(tr: TracerRegistry, aicen, vicen, vsnon, trcrn,
               donor, daice, dvice):
     """Transfer area/volume/tracers across category boundaries.
@@ -185,54 +243,12 @@ def shift_ice(tr: TracerRegistry, aicen, vicen, vsnon, trcrn,
 
     for b in range(ncat - 1):
         db = donor[b]
-        da = daice[b]
-        dv = dvice[b]
-        lo_is_donor = db == b
-        active = (db >= 0)
-
-        a_nd = jnp.where(lo_is_donor, aiL[b], aiL[b + 1])
-        v_nd = jnp.where(lo_is_donor, viL[b], viL[b + 1])
-
-        # range snapping (ice_itd.F90:905-1032): tiny -> zero, near-full ->
-        # whole category
-        tiny = (da < -ct.puny * a_nd) | (dv < -ct.puny * v_nd)
-        da = jnp.where((da < 0) & ~tiny, 0.0, da)
-        dv = jnp.where((dv < 0) & ~tiny, 0.0, dv)
-        whole = (da > a_nd * (1.0 - ct.puny)) | (dv > v_nd * (1.0 - ct.puny))
-        da = jnp.where(whole, a_nd, da)
-        dv = jnp.where(whole, v_nd, dv)
-        active = active & (da > 0.0)
-        da = jnp.where(active, da, 0.0)
-        dv = jnp.where(active, dv, 0.0)
-
-        frac = jnp.where(active, da / jnp.maximum(a_nd, ct.puny), 0.0)
-        s_nd = jnp.where(lo_is_donor, vsL[b], vsL[b + 1])
-        dvs = s_nd * frac
-
-        # signed deltas for the two categories at this boundary
-        sgn_lo = jnp.where(lo_is_donor, -1.0, 1.0)
-        aiL[b] = aiL[b] + sgn_lo * da
-        aiL[b + 1] = aiL[b + 1] - sgn_lo * da
-        viL[b] = viL[b] + sgn_lo * dv
-        viL[b + 1] = viL[b + 1] - sgn_lo * dv
-        vsL[b] = vsL[b] + sgn_lo * dvs
-        vsL[b + 1] = vsL[b + 1] - sgn_lo * dvs
-
-        # tracer amounts from the donor category
-        t_nd = jnp.where(lo_is_donor[None], trcrn[b], trcrn[b + 1])
-        dats = []
-        for it in range(tr.ntrcr):
-            # walk the parent chain: amount = base(root) * prod(parents) * t
-            amt = t_nd[it]
-            q = it
-            while tr.depend[q] >= DEP_TRCR:
-                q = tr.depend[q] - DEP_TRCR
-                amt = amt * t_nd[q]
-            base = {DEP_AICE: da, DEP_VICE: dv, DEP_VSNO: dvs}[tr.depend[q]]
-            dats.append(base * amt)
-        dat = jnp.stack(dats, axis=0)                 # (ntrcr, *B)
-        atL[b] = atL[b] + sgn_lo[None] * dat
-        atL[b + 1] = atL[b + 1] - sgn_lo[None] * dat
+        pair = (aiL[b], aiL[b + 1], viL[b], viL[b + 1], vsL[b], vsL[b + 1],
+                atL[b], atL[b + 1])
+        (aiL[b], aiL[b + 1], viL[b], viL[b + 1], vsL[b], vsL[b + 1],
+         atL[b], atL[b + 1]) = _shift_boundary(
+            tr, pair, trcrn[b], trcrn[b + 1], db == b, db >= 0,
+            daice[b], dvice[b])
 
     aicen = jnp.stack(aiL)
     vicen = jnp.stack(viL)
@@ -247,9 +263,17 @@ def shift_ice(tr: TracerRegistry, aicen, vicen, vsnon, trcrn,
 # ----------------------------------------------------------------------
 
 def rebin(tr: TracerRegistry, hin_max, aicen, vicen, vsnon, trcrn):
-    """Enforce category bounds by whole-category shifts."""
+    """Enforce category bounds by whole-category shifts.
+
+    Each of the 2*(ncat-1) sequential boundary passes only touches the
+    two categories straddling its boundary, so the whole routine runs on
+    per-category Python lists and converts tracer amounts <-> values for
+    just that PAIR per pass (the reference calls a full-ITD shift_ice per
+    boundary, ice_itd.F90:516-729 — same math, but a dense port of that
+    costs ncat/2 redundant passes over the (ncat, ntrcr, ny, nx) tracer
+    stack per boundary in HBM traffic).
+    """
     ncat = aicen.shape[0]
-    B = aicen.shape[1:]
     hicen = jnp.where(aicen > ct.puny,
                       vicen / jnp.maximum(aicen, ct.puny), 0.0)
 
@@ -259,28 +283,48 @@ def rebin(tr: TracerRegistry, hin_max, aicen, vicen, vsnon, trcrn):
         aicen = aicen.at[0].set(jnp.where(thin, vicen[0] / hin_max[0],
                                           aicen[0]))
 
+    atrcrn = tracer_weights(tr, aicen, vicen, vsnon, trcrn) * trcrn
+    aiL = [aicen[n] for n in range(ncat)]
+    viL = [vicen[n] for n in range(ncat)]
+    vsL = [vsnon[n] for n in range(ncat)]
+    atL = [atrcrn[n] for n in range(ncat)]
+
     def boundary_shift(b, donor_cat):
-        nonlocal aicen, vicen, vsnon, trcrn
-        h = jnp.where(aicen[donor_cat] > ct.puny,
-                      vicen[donor_cat] / jnp.maximum(aicen[donor_cat], ct.puny),
+        h = jnp.where(aiL[donor_cat] > ct.puny,
+                      viL[donor_cat] / jnp.maximum(aiL[donor_cat], ct.puny),
                       0.0)
         if donor_cat == b:            # too thick -> move up
-            move = (aicen[b] > ct.puny) & (h > hin_max[b + 1])
+            move = (aiL[b] > ct.puny) & (h > hin_max[b + 1])
         else:                         # too thin -> move down
-            move = (aicen[b + 1] > ct.puny) & (h <= hin_max[b + 1])
-        donor = jnp.full((ncat - 1,) + B, -1, jnp.int32)
-        donor = donor.at[b].set(jnp.where(move, donor_cat, -1))
-        da = jnp.zeros((ncat - 1,) + B, aicen.dtype)
-        dv = jnp.zeros_like(da)
-        da = da.at[b].set(jnp.where(move, aicen[donor_cat], 0.0))
-        dv = dv.at[b].set(jnp.where(move, vicen[donor_cat], 0.0))
-        aicen, vicen, vsnon, trcrn = shift_ice(
-            tr, aicen, vicen, vsnon, trcrn, donor, da, dv)
+            move = (aiL[b + 1] > ct.puny) & (h <= hin_max[b + 1])
+        # tracer values for the pair from current amounts, then re-derive
+        # the amounts from those values — the same amounts->values->amounts
+        # roundtrip each full shift_ice call performs (zaps residual
+        # amounts in empty categories, reference semantics)
+        a2 = jnp.stack([aiL[b], aiL[b + 1]])
+        v2 = jnp.stack([viL[b], viL[b + 1]])
+        s2 = jnp.stack([vsL[b], vsL[b + 1]])
+        t2 = compute_tracers(tr, jnp.stack([atL[b], atL[b + 1]]),
+                             a2, v2, s2)
+        at2 = tracer_weights(tr, a2, v2, s2, t2) * t2
+        da = jnp.where(move, aiL[donor_cat], 0.0)
+        dv = jnp.where(move, viL[donor_cat], 0.0)
+        lo_is_donor = jnp.full(move.shape, donor_cat == b)
+        pair = (aiL[b], aiL[b + 1], viL[b], viL[b + 1], vsL[b],
+                vsL[b + 1], at2[0], at2[1])
+        (aiL[b], aiL[b + 1], viL[b], viL[b + 1], vsL[b], vsL[b + 1],
+         atL[b], atL[b + 1]) = _shift_boundary(
+            tr, pair, t2[0], t2[1], lo_is_donor, move, da, dv)
 
     for b in range(ncat - 1):             # move thin categories up
         boundary_shift(b, b)
     for b in reversed(range(ncat - 1)):   # move thick categories down
         boundary_shift(b, b + 1)
+
+    aicen = jnp.stack(aiL)
+    vicen = jnp.stack(viL)
+    vsnon = jnp.stack(vsL)
+    trcrn = compute_tracers(tr, jnp.stack(atL), aicen, vicen, vsnon)
     return aicen, vicen, vsnon, trcrn
 
 

@@ -459,24 +459,20 @@ def picard_solver(dt, *, nilyr, nslyr, mask, lsnow, lcold,
                 rh.append(rh_r)
         return (jnp.stack(sb), jnp.stack(dg), jnp.stack(sp), jnp.stack(rh))
 
+    # carry ONLY the unknowns + convergence state: every flux the result
+    # needs (fcondtop/fcondbot/fadvheat/flwoutn/...) is a pure function of
+    # the FROZEN Tsf/zTsn/zTin (each cell's carry stops updating at its
+    # converging iteration), so they are recomputed once after the loop
+    # instead of riding the while carry through HBM every iteration.
     class C(NamedTuple):
         nit: jnp.ndarray
         Tsf: jnp.ndarray
         zTsn: jnp.ndarray
         zTin: jnp.ndarray
         converged: jnp.ndarray
-        fadvheat: jnp.ndarray
-        fcondtop: jnp.ndarray
-        fcondbot: jnp.ndarray
-        flwoutn: jnp.ndarray
-        fsensn: jnp.ndarray
-        flatn: jnp.ndarray
-        fsurfn: jnp.ndarray
 
-    z = jnp.zeros(B, dtype)
     init = C(nit=jnp.zeros((), jnp.int32), Tsf=Tsf0, zTsn=zTsn, zTin=zTin,
-             converged=~mask, fadvheat=z, fcondtop=z, fcondbot=z,
-             flwoutn=z, fsensn=z, flatn=z, fsurfn=z)
+             converged=~mask)
 
     def cond(c):
         return (c.nit < NIT_MAX) & jnp.any(~c.converged)
@@ -530,12 +526,7 @@ def picard_solver(dt, *, nilyr, nslyr, mask, lsnow, lcold,
                  Tsf=upd(Tsf_new, c.Tsf),
                  zTsn=updk(zTsn_new, c.zTsn),
                  zTin=updk(zTin_new, c.zTin),
-                 converged=c.converged | (conv & active),
-                 fadvheat=upd(fadv, c.fadvheat),
-                 fcondtop=upd(fct, c.fcondtop),
-                 fcondbot=upd(fcb, c.fcondbot),
-                 flwoutn=upd(flwo, c.flwoutn), fsensn=upd(fsen, c.fsensn),
-                 flatn=upd(flat_, c.flatn), fsurfn=upd(fsur, c.fsurfn))
+                 converged=c.converged | (conv & active))
 
     f = jax.lax.while_loop(cond, body, init)
 
@@ -546,10 +537,28 @@ def picard_solver(dt, *, nilyr, nslyr, mask, lsnow, lcold,
     flwo, fsen, flat_, fsur = thsh.surface_heat_flux(
         f.Tsf, fswsfc, rhoa, flw, potT, Qa, shcoef, lhcoef)
 
+    # diagnostic fluxes from the frozen solution (identical to the values
+    # each cell saw at its converging iteration; masked cells -> 0)
+    qbr_f = enthalpy_brine(f.zTin)
+    qbr_dn = jnp.concatenate(
+        [qbr_f[1:], jnp.broadcast_to(qocn[None], qbr_f[:1].shape)], axis=0)
+    fadv = -jnp.sum(q * (qbr_dn - qbr_f), axis=0)
+    fadv = fadv + w * (qbr_f[nilyr - 1] - qpond)
+    fcb = 2.0 * km[nilyr - 1] * (f.zTin[nilyr - 1] - Tbot) \
+        / jnp.maximum(hilyr, ct.puny)
+    fct = jnp.where(
+        lsnow,
+        2.0 * ks[0] * (f.Tsf - f.zTsn[0]) / jnp.maximum(hslyr, ct.puny),
+        2.0 * km[0] * (f.Tsf - f.zTin[0]) / jnp.maximum(hilyr, ct.puny))
+    zero = jnp.zeros(B, dtype)
+    fadv = jnp.where(mask, fadv, zero)
+    fcb = jnp.where(mask, fcb, zero)
+    fct = jnp.where(mask, fct, zero)
+
     return PicardResult(
         Tsf=f.Tsf, zqin=zqin, zqsn=zqsn, zTin=f.zTin, zTsn=f.zTsn,
-        zSin=zSin, fcondtop=f.fcondtop, fcondbot=f.fcondbot,
-        fadvheat=f.fadvheat, flwoutn=flwo, fsensn=fsen, flatn=flat_,
+        zSin=zSin, fcondtop=fct, fcondbot=fcb,
+        fadvheat=fadv, flwoutn=flwo, fsensn=fsen, flatn=flat_,
         fsurfn=fsur, converged=f.converged)
 
 

@@ -73,10 +73,33 @@ def _pshift(x, axis_name: str, shift: int, cyclic: bool):
     return lax.ppermute(x, axis_name, perm)
 
 
+# When True (set trace-time by Pallas kernel bodies, e.g.
+# ops/pallas/evp_resident.py), implement the x-reversal as a contraction
+# with the anti-diagonal permutation matrix instead of lax.rev, which
+# Mosaic cannot lower. The matmul is bit-exact (each output element is
+# one input element times 1.0 plus exact zeros, Precision.HIGHEST keeps
+# f32 operands unsplit-rounded) and the reversed rows are tiny (a single
+# ghost row per subcycle), so MXU cost is negligible.
+FLIP_VIA_MATMUL = False
+
+
+def _flip_last(row):
+    """Reverse the last axis; Mosaic-lowerable under FLIP_VIA_MATMUL."""
+    if not FLIP_VIA_MATMUL:
+        return jnp.flip(row, axis=-1)
+    n = row.shape[-1]
+    i = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    P = jnp.asarray(i + j == n - 1, row.dtype)
+    r2 = row.reshape(-1, n)
+    out = jax.lax.dot(r2, P, precision=lax.Precision.HIGHEST)
+    return out.reshape(row.shape)
+
+
 def _global_flip_x(row, topo: Topology):
     """Global x-reversal of (..., nx_local) rows. Sharded: local flip +
     mirror-pair ppermute (device ix <-> px-1-ix)."""
-    flipped = jnp.flip(row, axis=-1)
+    flipped = _flip_last(row)
     if topo.axis_x is None:
         return flipped
     n = lax.axis_size(topo.axis_x)
