@@ -86,6 +86,10 @@ class StepDiag(NamedTuple):
     transport_mono_bad: jnp.ndarray      # 0 unless monotonicity_check
     fsurfn_ai: jnp.ndarray      # (ncat, ny, nx) ai-weighted sfc heat flux
     flatn_ai: jnp.ndarray       # (ncat, ny, nx) ai-weighted latent flux
+    fsensn_ai: jnp.ndarray      # (ncat, ny, nx) ai-weighted sensible flux
+    fmelttn_ai: jnp.ndarray     # (ncat, ny, nx) surface-melt heat flux
+    # max(fsurfn - fcondtopn, 0)*ai (ice_history.F90:1560-1565)
+    snowfracn: jnp.ndarray      # (ncat, ny, nx) radiation snow fraction
     fcondtopn_ai: jnp.ndarray   # (ncat, ny, nx) ai-weighted top conductive
     fsurf: jnp.ndarray          # cell-mean net surface heat flux
     fcondtop: jnp.ndarray       # cell-mean top conductive flux
@@ -96,6 +100,23 @@ class StepDiag(NamedTuple):
     prs_sig: jnp.ndarray        # replacement pressure (for sig1/sig2)
     state_bad: jnp.ndarray      # in-step l_stop analog: count of NaN/
     # out-of-bounds state values after this step (0 = healthy)
+    strintx: jnp.ndarray        # internal ice stress divergence, x (N/m^2)
+    strinty: jnp.ndarray
+    strtltx: jnp.ndarray        # sea-surface tilt stress, x (N/m^2)
+    strtlty: jnp.ndarray
+    strcorx: jnp.ndarray        # Coriolis stress fm*vvel (N/m^2)
+    strcory: jnp.ndarray        # Coriolis stress -fm*uvel
+    albice: jnp.ndarray         # broadband bare-ice albedo (cell mean)
+    albsno: jnp.ndarray         # broadband snow albedo
+    albpnd: jnp.ndarray         # broadband pond albedo (dEdd only)
+    dsnow: jnp.ndarray          # snow depth change from thermo (m/step)
+    fswint: jnp.ndarray         # SW absorbed in ice interior (W/m^2)
+    daidtt: jnp.ndarray         # area tendency from thermo (1/s)
+    dvidtt: jnp.ndarray         # volume tendency from thermo (m/s)
+    daidtd: jnp.ndarray         # area tendency from dynamics (1/s)
+    dvidtd: jnp.ndarray         # volume tendency from dynamics (m/s)
+    dagedtt: jnp.ndarray        # age tendency from thermo (s/s)
+    dagedtd: jnp.ndarray        # age tendency from dynamics (s/s)
     faero_ocn: jnp.ndarray   # (n_aero, ny, nx); empty when tr_aero off
     flux_bio: jnp.ndarray    # (nbtrcr, ny, nx) BGC flux to ocean; empty
     PP_net: jnp.ndarray      # net primary production (mg C/m^2/s)
@@ -206,6 +227,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                              fswthru=de.fswthrun, Iswabs=de.Iswabsn,
                              fswpenl=de.fswpenln)
         Sswabsn = de.Sswabsn
+        albpndn = de.albpndn
+        snowfracn = de.snowfracn
     else:
         def rad_one(aic, vic, vsn, tsf):
             return shortwave_ccsm3(
@@ -219,6 +242,12 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         with jax.named_scope("sw_radiation_ccsm3"):
             alb, absr = jax.vmap(rad_one)(aicen, vicen, vsnon, Tsfcn)
         Sswabsn = jnp.zeros((ncat, nslyr, ny, nx), dtype)
+        albpndn = jnp.zeros_like(aicen)   # no pond albedo in CCSM3
+        # CCSM3 snow patchiness fraction (compute_albedos asnow)
+        hs_r = jnp.where(aicen > ct.puny,
+                         vsnon / jnp.maximum(aicen, ct.puny), 0.0)
+        snowfracn = jnp.where(aicen > ct.puny,
+                              hs_r / (hs_r + ct.snowpatch), 0.0)
 
     # ---------------- bottom flux & lateral melt potential --------------
     frzmlt = state.frzmlt if cfg.forcing.oceanmixed_ice else forcing.frzmlt
@@ -322,6 +351,13 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     Tref_d = mrg(refn[0])
     Qref_d = mrg(refn[1])
     Uref_d = mrg(refn[2])
+    # per-surface broadband albedos + interior SW + snow depth change
+    # (f_albice/f_albsno/f_albpnd/f_fswint_ai/f_dsnow history fields)
+    albice_d = mrg(alb.albin)
+    albsno_d = mrg(alb.albsn)
+    albpnd_d = mrg(albpndn)
+    fswint_d = mrg(absr.fswint)
+    dsnow_d = mrg(tres.dsnow)
 
     aicen = tres.aicen
     vicen = tres.vicen
@@ -511,11 +547,23 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     # ---------------- step_therm2: ITD evolution -------------------------
     aicen_init_itd = state.aicen       # pre-thermo, for linear_itd
     vicen_init_itd = state.vicen
+    itd_bad = jnp.zeros((), jnp.int32)
     if cfg.kitd == 1:
+        if cfg.dyn.conserv_check:
+            pre_sums = itd.itd_conservation_sums(tr, nilyr, nslyr, aicen,
+                                                 vicen, vsnon, trcrn)
         aicen, vicen, vsnon, trcrn = itd.linear_itd(
             tr, hin_max, nslyr, aicen_init=aicen_init_itd,
             vicen_init=vicen_init_itd, aicen=aicen, vicen=vicen,
             vsnon=vsnon, trcrn=trcrn)
+        if cfg.dyn.conserv_check:
+            # the reference's l_stop abort on a linear_itd conservation
+            # violation (ice_therm_itd.F90:783-860); folded into the
+            # in-step failure counter below
+            post_sums = itd.itd_conservation_sums(tr, nilyr, nslyr, aicen,
+                                                  vicen, vsnon, trcrn)
+            itd_bad = itd_bad + itd.itd_conservation_check(pre_sums,
+                                                           post_sums)
 
     agg1 = itd.aggregate(tr, aicen, vicen, vsnon, trcrn)
     nir = itd.add_new_ice(dt, tr, hin_max, nilyr, aicen=aicen, vicen=vicen,
@@ -568,6 +616,28 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     mono_bad = jnp.zeros((), jnp.int32)
     strength_d = jnp.zeros((ny, nx), dtype)
     prs_sig_d = jnp.zeros((ny, nx), dtype)
+    strintx_d = jnp.zeros((ny, nx), dtype)
+    strinty_d = jnp.zeros((ny, nx), dtype)
+    strtltx_d = jnp.zeros((ny, nx), dtype)
+    strtlty_d = jnp.zeros((ny, nx), dtype)
+    strcorx_d = jnp.zeros((ny, nx), dtype)
+    strcory_d = jnp.zeros((ny, nx), dtype)
+
+    def _mean_age(an, tc):
+        if not cfg.tracers.tr_iage:
+            return jnp.zeros((ny, nx), dtype)
+        a = jnp.sum(an, axis=0)
+        return jnp.sum(an * tc[:, tr.nt_iage], axis=0) \
+            / jnp.maximum(a, ct.puny)
+
+    # thermodynamic state tendencies (f_daidtt/f_dvidtt/f_dagedtt;
+    # ice_step_mod.F90 step_therm2 tail: daidtt = (aice - daidtt)/dt)
+    aice_mid = jnp.sum(aicen, axis=0)
+    vice_mid = jnp.sum(vicen, axis=0)
+    age_mid = _mean_age(aicen, trcrn)
+    daidtt = (aice_mid - agg0.aice) / dt
+    dvidtt = (vice_mid - agg0.vice) / dt
+    dagedtt = (age_mid - _mean_age(state.aicen, state.trcrn)) / dt
     if cfg.dyn.kdyn >= 1:
         if cfg.dyn.yield_curve != "ellipse":
             raise NotImplementedError(
@@ -640,6 +710,10 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                          stress12=stress12, iceumask=iceumask, Cw=Cw_ocn)
             uvel, vvel = ev.uvel, ev.vvel
             prs_sig_d = ev.prs_sig
+            strintx_d, strinty_d = ev.strintx, ev.strinty
+            strtltx_d, strtlty_d = ev.strtltx, ev.strtlty
+            strcorx_d = ev.fm * ev.vvel       # ice_history.F90:1473-1476
+            strcory_d = -ev.fm * ev.uvel
             stressp, stressm, stress12 = ev.stressp, ev.stressm, ev.stress12
             iceumask = ev.iceumask
             strocnxT, strocnyT = ev.strocnxT, ev.strocnyT
@@ -694,8 +768,31 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
             fsalt = fsalt + cl2.dfsalt
             fhocn = fhocn + cl2.dfhocn
 
+    if cfg.thermo.ktherm == 0:
+        # zero-layer energy-placeholder consistency after all ITD ops
+        # (ice_itd.F90:2428 zerolayer_check, called from cleanup_itd when
+        # heat_capacity=F)
+        itd_bad = itd_bad + itd.zerolayer_check(tr, nilyr, nslyr, aicen,
+                                                vicen, vsnon, trcrn)
+
     # ---------------- coupling prep: slab ocean update -------------------
     aggf = itd.aggregate(tr, aicen, vicen, vsnon, trcrn)
+    # dynamic state tendencies (f_daidtd/f_dvidtd/f_dagedtd;
+    # ice_step_mod.F90 step_dynamics tail)
+    daidtd = (aggf.aice - aice_mid) / dt
+    dvidtd = (aggf.vice - vice_mid) / dt
+    dagedtd = (_mean_age(aicen, trcrn) - age_mid) / dt
+
+    # melt/freeze season onset dates (ice_flux.F90 mlt_onset/frz_onset:
+    # first day-of-year with top melt / with congelation+frazil growth;
+    # reset at the new year, i.e. on the first step of January 1)
+    new_year = forcing.yday <= dt / 86400.0 + 1.0e-6
+    mlt_onset = jnp.where(new_year, 0.0, state.mlt_onset)
+    frz_onset = jnp.where(new_year, 0.0, state.frz_onset)
+    mlt_onset = jnp.where((meltt > 0.0) & (mlt_onset <= 0.0),
+                          forcing.yday, mlt_onset)
+    frz_onset = jnp.where((frazil + congel > 0.0) & (frz_onset <= 0.0),
+                          forcing.yday, frz_onset)
     # meltwater retained in ponds does not reach the ocean
     # (CICE_RunMod.F90:384-387 coupling_prep, l_mpond_fresh)
     if cfg.forcing.l_mpond_fresh and cfg.tracers.tr_pond:
@@ -751,7 +848,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                  + _nbad(vsnon, -1e-6, 50.0)
                  + _nbad(uvel, -5.0, 5.0) + _nbad(vvel, -5.0, 5.0)
                  + _nbad(trcrn[:, tr.nt_Tsfc], -100.0, 1e-6,
-                         mask=has_ice_n)).astype(jnp.int32)
+                         mask=has_ice_n)
+                 + global_sum(itd_bad, topo)).astype(jnp.int32)
 
     new_state = state.replace(
         aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
@@ -760,7 +858,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         stressp=stressp, stressm=stressm,
         stress12=stress12, iceumask=iceumask, strocnxT=strocnxT,
         strocnyT=strocnyT, frzmlt=frzmlt_out, scale_factor=scale_factor,
-        sst=sst_new)
+        sst=sst_new, mlt_onset=mlt_onset, frz_onset=frz_onset)
 
     diag = StepDiag(
         aice=aggf.aice, vice=aggf.vice, vsno=aggf.vsno,
@@ -779,11 +877,21 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         transport_mono_bad=mono_bad,
         fsurfn_ai=w * tres.fsurfn,
         flatn_ai=w * tres.flatn,
+        fsensn_ai=w * tres.fsensn,
+        fmelttn_ai=w * jnp.maximum(tres.fsurfn - tres.fcondtopn, 0.0),
+        snowfracn=snowfracn,
         fcondtopn_ai=w * tres.fcondtopn,
         fsurf=fsurf_d, fcondtop=fcondtop_d,
         Tref=Tref_d, Qref=Qref_d, Uref=Uref_d,
         strength=strength_d, prs_sig=prs_sig_d,
         state_bad=state_bad,
+        strintx=strintx_d, strinty=strinty_d,
+        strtltx=strtltx_d, strtlty=strtlty_d,
+        strcorx=strcorx_d, strcory=strcory_d,
+        albice=albice_d, albsno=albsno_d, albpnd=albpnd_d,
+        dsnow=dsnow_d, fswint=fswint_d,
+        daidtt=daidtt, dvidtt=dvidtt, daidtd=daidtd, dvidtd=dvidtd,
+        dagedtt=dagedtt, dagedtd=dagedtd,
         faero_ocn=(faero_ocn if tcfg.tr_aero
                    else jnp.zeros((0, ny, nx), dtype)),
         flux_bio=(flux_bio if tcfg.skl_bgc

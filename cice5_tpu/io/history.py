@@ -48,13 +48,31 @@ STANDARD_FIELDS = [
     HistField("Tsfc", "C", "snow/ice surface temperature"),
     HistField("uvel", "m/s", "ice velocity (x)"),
     HistField("vvel", "m/s", "ice velocity (y)"),
+    # flux pairs: the plain name is the per-ice-area flux (the post-
+    # scale_fluxes view the reference accumulates, ice_flux.F90:840);
+    # `*_ai` is weighted by ice area (what the full cell exchanges),
+    # accum_hist_field(... fsens*workb) ice_history.F90:1411-1414
     HistField("fswabs", "W/m^2", "snow/ice/ocn absorbed solar flux"),
-    HistField("flwout", "W/m^2", "upward longwave flux"),
+    HistField("fswabs_ai", "W/m^2", "snow/ice/ocn absorbed solar flux"
+              " (*aice)"),
+    HistField("fswint_ai", "W/m^2", "SW absorbed in ice interior (*aice)"),
+    HistField("flwup", "W/m^2", "upward longwave flux"),
+    HistField("flwup_ai", "W/m^2", "upward longwave flux (*aice)"),
     HistField("fsens", "W/m^2", "sensible heat flux"),
+    HistField("fsens_ai", "W/m^2", "sensible heat flux (*aice)"),
     HistField("flat", "W/m^2", "latent heat flux"),
+    HistField("flat_ai", "W/m^2", "latent heat flux (*aice)"),
     HistField("fhocn", "W/m^2", "heat flux ice to ocean"),
+    HistField("fhocn_ai", "W/m^2", "heat flux ice to ocean (*aice)"),
     HistField("fresh", "kg/m^2/s", "freshwater flux ice to ocean"),
+    HistField("fresh_ai", "kg/m^2/s", "freshwater flux ice to ocean"
+              " (*aice)"),
     HistField("fsalt", "kg/m^2/s", "salt flux ice to ocean"),
+    HistField("fsalt_ai", "kg/m^2/s", "salt flux ice to ocean (*aice)"),
+    HistField("evap_ai", "kg/m^2/s", "evaporative water flux (*aice)"),
+    HistField("fswthru_ai", "W/m^2", "SW through ice to ocean (*aice)"),
+    HistField("fmeltt_ai", "W/m^2", "net surface-melt heat flux (*aice)"),
+    HistField("snowfrac", "1", "radiation snow fraction (cell mean)"),
     HistField("meltt", "cm/day", "top ice melt", scale=ct.mps_to_cmpdy / 86400.0 * 86400.0),
     HistField("meltb", "cm/day", "basal ice melt"),
     HistField("meltl", "cm/day", "lateral ice melt"),
@@ -86,8 +104,10 @@ STANDARD_FIELDS = [
     HistField("fswdn", "W/m^2", "downward solar flux", instantaneous=True),
     HistField("flwdn", "W/m^2", "downward longwave flux",
               instantaneous=True),
-    HistField("snowfall", "kg/m^2/s", "snowfall rate", instantaneous=True),
-    HistField("rainfall", "kg/m^2/s", "rainfall rate", instantaneous=True),
+    HistField("snow", "kg/m^2/s", "snowfall rate", instantaneous=True),
+    HistField("snow_ai", "kg/m^2/s", "snowfall rate (*aice)"),
+    HistField("rain", "kg/m^2/s", "rainfall rate", instantaneous=True),
+    HistField("rain_ai", "kg/m^2/s", "rainfall rate (*aice)"),
     HistField("sss", "ppt", "sea surface salinity", instantaneous=True),
     HistField("uocn", "m/s", "ocean current (x)", instantaneous=True),
     HistField("vocn", "m/s", "ocean current (y)", instantaneous=True),
@@ -105,7 +125,66 @@ STANDARD_FIELDS = [
               instantaneous=True),
     HistField("trsig", "N/m", "internal stress tensor trace",
               instantaneous=True),
-    HistField("ice_present", "1", "fraction of time-avg interval with ice"),
+    HistField("s11", "N/m", "internal stress tensor sigma_11",
+              instantaneous=True),
+    HistField("s12", "N/m", "internal stress tensor sigma_12",
+              instantaneous=True),
+    HistField("s22", "N/m", "internal stress tensor sigma_22",
+              instantaneous=True),
+    HistField("icepresent", "1", "fraction of time-avg interval with ice"),
+    # albedo set (f_albice/f_albsno/f_albpnd + ai-weighted band albedos,
+    # ice_history.F90:1395-1402)
+    HistField("albice", "1", "bare ice albedo (broadband)"),
+    HistField("albsno", "1", "snow albedo (broadband)"),
+    HistField("albpnd", "1", "melt pond albedo (broadband)"),
+    HistField("alvdr_ai", "1", "visible direct albedo (*aice, ice only)"),
+    HistField("alvdf_ai", "1", "visible diffuse albedo (*aice, ice only)"),
+    HistField("alidr_ai", "1", "near-IR direct albedo (*aice, ice only)"),
+    HistField("alidf_ai", "1", "near-IR diffuse albedo (*aice, ice only)"),
+    # radiation extras
+    HistField("coszen", "radian", "cosine of the zenith angle",
+              instantaneous=True),
+    HistField("fswup", "W/m^2", "upward reflected solar flux"),
+    HistField("fswfac", "1", "shortwave scaling factor",
+              instantaneous=True),
+    # instantaneous snapshots (f_aisnap/f_hisnap)
+    HistField("aisnap", "1", "ice area snapshot", instantaneous=True),
+    HistField("hisnap", "m", "ice volume snapshot", instantaneous=True),
+    # internal-stress / tilt force terms (f_strintx.../f_strtltx...)
+    HistField("strintx", "N/m^2", "internal ice stress divergence (x)"),
+    HistField("strinty", "N/m^2", "internal ice stress divergence (y)"),
+    HistField("strtltx", "N/m^2", "sea-surface tilt stress (x)"),
+    HistField("strtlty", "N/m^2", "sea-surface tilt stress (y)"),
+    HistField("strcorx", "N/m^2", "Coriolis stress (x)"),
+    HistField("strcory", "N/m^2", "Coriolis stress (y)"),
+    # state tendencies (f_daidtt/f_dvidtt/f_daidtd/f_dvidtd/f_dagedt*)
+    HistField("daidtt", "%/day", "area tendency from thermodynamics"),
+    HistField("dvidtt", "cm/day", "volume tendency from thermodynamics"),
+    HistField("daidtd", "%/day", "area tendency from dynamics"),
+    HistField("dvidtd", "cm/day", "volume tendency from dynamics"),
+    HistField("dagedtt", "day/day", "age tendency from thermodynamics"),
+    HistField("dagedtd", "day/day", "age tendency from dynamics"),
+    HistField("dsnow", "cm/day", "snow depth change from thermo"),
+    # season onset dates (f_mlt_onset/f_frz_onset; carried in State)
+    HistField("mlt_onset", "day of year", "melt season onset date",
+              instantaneous=True),
+    HistField("frz_onset", "day of year", "freeze-up onset date",
+              instantaneous=True),
+]
+
+# tracer-derived cell means (f_iage/f_FY/f_sice)
+TRACER_MEAN_FIELDS = [
+    HistField("iage", "years", "mean ice age"),
+    HistField("FY", "1", "first-year ice area fraction"),
+    HistField("sice", "ppt", "bulk ice salinity"),
+]
+
+# EAP structure tensor (f_a11/f_a12, ice_history.F90 eap block)
+EAP_FIELDS = [
+    HistField("a11", "1", "structure tensor component a11",
+              instantaneous=True),
+    HistField("a12", "1", "structure tensor component a12",
+              instantaneous=True),
 ]
 
 # per-category fields (a3Dc class; f_aicen/f_vicen/... flags,
@@ -121,6 +200,12 @@ CAT_FIELDS = [
               dims="3Dc"),
     HistField("fcondtopn_ai", "W/m^2",
               "top conductive heat flux, categories", dims="3Dc"),
+    HistField("fsensn_ai", "W/m^2", "sensible heat flux, categories",
+              dims="3Dc"),
+    HistField("fmelttn_ai", "W/m^2", "surface-melt heat flux, categories",
+              dims="3Dc"),
+    HistField("snowfracn", "1", "radiation snow fraction, categories",
+              dims="3Dc"),
     HistField("apondn", "1", "melt pond fraction, categories", dims="3Dc"),
     HistField("hpondn", "m", "melt pond depth, categories", dims="3Dc"),
     HistField("ipondn", "m", "pond lid thickness, categories", dims="3Dc"),
@@ -182,6 +267,12 @@ def available_fields(cfg=None, tr=None, include_3d=True) -> list:
     has_pond = tr is not None and tr.nt_apnd >= 0
     has_lvl = tr is not None and tr.nt_alvl >= 0
     has_lid = tr is not None and tr.nt_ipnd >= 0
+    if tr is not None:
+        fields += [f for f in TRACER_MEAN_FIELDS
+                   if (f.name != "iage" or tr.nt_iage >= 0)
+                   and (f.name != "FY" or tr.nt_FY >= 0)]
+    if cfg is not None and getattr(cfg.dyn, "kdyn", 1) == 2:
+        fields += EAP_FIELDS
     if has_lvl:
         fields += MECHRED_FIELDS
     if has_pond:
@@ -345,8 +436,40 @@ def write_netcdf(stream: HistoryStream, grid, info, path: str,
         tv = f.createVariable("time", "d", ("time",))
         tv.units = "days since 0001-01-01 00:00:00"
         tv[0] = info.time / 86400.0
+        # category / vertical coordinate variables (NCAT, VGRDi, VGRDs)
+        if "nc" in f.dimensions:
+            ncv = f.createVariable("NCAT", "f", ("nc",))
+            ncv.long_name = "category maximum thickness index"
+            ncv[:] = np.arange(1, f.dimensions["nc"] + 1, dtype=np.float32)
+        for dim, nm in (("nkice", "VGRDi"), ("nksnow", "VGRDs")):
+            if dim in f.dimensions:
+                vv = f.createVariable(nm, "f", (dim,))
+                vv.long_name = "vertical level midpoints (fraction)"
+                nk = f.dimensions[dim]
+                vv[:] = ((np.arange(nk) + 0.5) / nk).astype(np.float32)
+        # T-cell corner bounds from the U points (gridbox_corners,
+        # ice_grid.F90:1972-2092): corner order NE, NW, SW, SE
+        f.createDimension("nvertices", 4)
+        ulat = np.rad2deg(np.asarray(grid.ULAT))
+        ulon = np.rad2deg(np.asarray(grid.ULON))
+        for nm, u in (("latt_bounds", ulat), ("lont_bounds", ulon)):
+            w = np.roll(u, 1, axis=1)                   # i-1 (cyclic ew)
+            south = lambda a: np.concatenate(
+                [2 * a[:1] - a[1:2], a[:-1]], axis=0)   # j-1, extrapolated
+            corners = np.stack([u, w, south(w), south(u)])
+            v = f.createVariable(nm, "f", ("nvertices", "nj", "ni"))
+            v[:] = corners.astype(np.float32)
+        # static grid variables written to every file (the f_tmask/f_tarea/
+        # f_uarea/f_dxt.../f_HTN/f_ANGLE grid-variable flags,
+        # ice_history_shared.F90:186-210 + io_netcdf writer grid block)
         for name, arr in (("TLAT", grid.TLAT), ("TLON", grid.TLON),
-                          ("tarea", grid.tarea), ("tmask", grid.hm)):
+                          ("ULAT", grid.ULAT), ("ULON", grid.ULON),
+                          ("tarea", grid.tarea), ("uarea", grid.uarea),
+                          ("tmask", grid.hm), ("umask", grid.uvm),
+                          ("dxt", grid.dxt), ("dyt", grid.dyt),
+                          ("dxu", grid.dxu), ("dyu", grid.dyu),
+                          ("HTN", grid.HTN), ("HTE", grid.HTE),
+                          ("ANGLE", grid.ANGLE), ("ANGLET", grid.ANGLET)):
             v = f.createVariable(name, "f", ("nj", "ni"))
             v[:] = np.asarray(arr, np.float32)
         dimmap = {"2D": ("time", "nj", "ni"),
@@ -375,43 +498,90 @@ def diag_to_values(diag, state, grid, tr=None, forcing=None,
     is given, + forcing fields when forcing is given)."""
     import jax.numpy as jnp
     aice = diag.aice
+    has_ice = aice > ct.puny
     safe = jnp.maximum(aice, ct.puny)
+
+    def per_ice(x):
+        """Per-ice-area view of an ai-merged flux — the post-scale_fluxes
+        semantics the reference history accumulates for the plain flux
+        names (ice_flux.F90:840 scale_fluxes; zero where no ice)."""
+        return jnp.where(has_ice, x / safe, 0.0)
+
     secday = 86400.0
     m_to_cmday = 100.0 * secday   # m/step already per-step; caller scales
     extra = {}
     if forcing is not None:
+        fswdn = (forcing.swvdr + forcing.swvdf + forcing.swidr
+                 + forcing.swidf)
         extra.update({
             "Tair": forcing.Tair - ct.Tffresh, "uatm": forcing.uatm,
-            "vatm": forcing.vatm,
-            "fswdn": forcing.swvdr + forcing.swvdf + forcing.swidr
-            + forcing.swidf,
-            "flwdn": forcing.flw, "snowfall": forcing.fsnow,
-            "rainfall": forcing.frain, "sss": forcing.sss,
-            "uocn": forcing.uocn, "vocn": forcing.vocn})
-    return extra | {
+            "vatm": forcing.vatm, "fswdn": fswdn,
+            "flwdn": forcing.flw,
+            "snow": forcing.fsnow, "snow_ai": forcing.fsnow * aice,
+            "rain": forcing.frain, "rain_ai": forcing.frain * aice,
+            "sss": forcing.sss,
+            "uocn": forcing.uocn, "vocn": forcing.vocn,
+            "coszen": forcing.coszen,
+            # cell-mean reflected SW from the 4-band cell albedos
+            "fswup": (forcing.swvdr * diag.alvdr
+                      + forcing.swvdf * diag.alvdf
+                      + forcing.swidr * diag.alidr
+                      + forcing.swidf * diag.alidf)})
+    eap = {}
+    if getattr(state, "a11n", None) is not None:
+        eap = {"a11": state.a11n[0], "a12": state.a12n[0]}
+    return extra | eap | {
         "aice": aice, "hi": diag.vice, "hs": diag.vsno, "Tsfc": diag.Tsfc,
         "uvel": state.uvel, "vvel": state.vvel,
-        "fswabs": diag.fswabs, "flwout": diag.flwout, "fsens": diag.fsens,
-        "flat": diag.flat, "fhocn": diag.fhocn, "fresh": diag.fresh,
-        "fsalt": diag.fsalt,
+        "aisnap": aice, "hisnap": diag.vice,
+        "fswabs": per_ice(diag.fswabs), "fswabs_ai": diag.fswabs,
+        "fswint_ai": diag.fswint,
+        "flwup": per_ice(diag.flwout), "flwup_ai": diag.flwout,
+        "fsens": per_ice(diag.fsens), "fsens_ai": diag.fsens,
+        "flat": per_ice(diag.flat), "flat_ai": diag.flat,
+        "fhocn": per_ice(diag.fhocn), "fhocn_ai": diag.fhocn,
+        "fresh": per_ice(diag.fresh), "fresh_ai": diag.fresh,
+        "fsalt": per_ice(diag.fsalt), "fsalt_ai": diag.fsalt,
         "meltt": diag.meltt * m_to_cmday, "meltb": diag.meltb * m_to_cmday,
         "meltl": diag.meltl * m_to_cmday, "congel": diag.congel * m_to_cmday,
         "frazil": diag.frazil * m_to_cmday,
         "snoice": diag.snoice * m_to_cmday,
+        "dsnow": diag.dsnow * m_to_cmday,
         "divu": diag.divu * secday * 100.0, "shear": diag.shear * secday,
         "strairx": diag.strairxT, "strocnx": state.strocnxT,
+        "strintx": diag.strintx, "strinty": diag.strinty,
+        "strtltx": diag.strtltx, "strtlty": diag.strtlty,
+        "strcorx": diag.strcorx, "strcory": diag.strcory,
         "dardg1dt": diag.dardg1dt, "dvirdgdt": diag.dvirdgdt,
+        "daidtt": diag.daidtt * secday * 100.0,
+        "dvidtt": diag.dvidtt * m_to_cmday,
+        "daidtd": diag.daidtd * secday * 100.0,
+        "dvidtd": diag.dvidtd * m_to_cmday,
+        "dagedtt": diag.dagedtt * secday, "dagedtd": diag.dagedtd * secday,
         "frzmlt": diag.frzmlt, "sst": state.sst,
         "albsni": (ct.awtvdr * diag.alvdr + ct.awtvdf * diag.alvdf
                    + ct.awtidr * diag.alidr + ct.awtidf * diag.alidf),
         "alvdr": diag.alvdr, "alvdf": diag.alvdf,
         "alidr": diag.alidr, "alidf": diag.alidf,
-        "evap": diag.evap, "fswthru": diag.fswthru,
+        # ice-only weighted band albedos (the reference's alvdr_ai etc.
+        # exclude the open-water contribution, CICE_RunMod.F90
+        # coupling_prep albedo block)
+        "alvdr_ai": diag.alvdr - (1.0 - aice) * ct.albocn,
+        "alvdf_ai": diag.alvdf - (1.0 - aice) * ct.albocn,
+        "alidr_ai": diag.alidr - (1.0 - aice) * ct.albocn,
+        "alidf_ai": diag.alidf - (1.0 - aice) * ct.albocn,
+        "albice": diag.albice, "albsno": diag.albsno,
+        "albpnd": diag.albpnd,
+        "evap": per_ice(diag.evap), "evap_ai": diag.evap,
+        "fswthru": per_ice(diag.fswthru), "fswthru_ai": diag.fswthru,
         "strairy": diag.strairyT, "strocny": state.strocnyT,
         "fpond": diag.fpond,
         "PP_net": diag.PP_net, "grow_net": diag.grow_net,
         "melts": diag.melts * m_to_cmday,
         "fsurf_ai": diag.fsurf, "fcondtop_ai": diag.fcondtop,
+        "fmeltt_ai": jnp.sum(diag.fmelttn_ai, axis=0),
+        "snowfrac": jnp.sum(diag.snowfracn * state.aicen, axis=0),
+        "fswfac": state.scale_factor,
         # Tref is the ai-weighted sum of Kelvin 2m temperatures
         # (sum aicen*Trefn); subtracting Tffresh*aice yields the
         # ai-weighted CELSIUS temperature without an aice<1 bias
@@ -419,7 +589,8 @@ def diag_to_values(diag, state, grid, tr=None, forcing=None,
         "Qref": diag.Qref * 1000.0,
         "Uref": diag.Uref,
         "strength": diag.strength,
-        "ice_present": (aice > ct.puny).astype(aice.dtype),
+        "icepresent": (aice > ct.puny).astype(aice.dtype),
+        "mlt_onset": state.mlt_onset, "frz_onset": state.frz_onset,
     } | _principal_stress(state, diag) | _tracer_values(state, tr) \
       | _category_values(diag, state, tr, nilyr, nslyr)
 
@@ -438,6 +609,11 @@ def _principal_stress(state, diag) -> dict:
         "sig1": jnp.where(ok, 0.5 * (sp + root) / safe, 0.0),
         "sig2": jnp.where(ok, 0.5 * (sp - root) / safe, 0.0),
         "trsig": 0.25 * jnp.sum(state.stressp, axis=0),
+        # stress tensor components from the corner-1 state
+        # (f_s11/f_s12/f_s22: sig11 = (sigP+sigM)/2, sig22 = (sigP-sigM)/2)
+        "s11": 0.5 * (sp + sm),
+        "s22": 0.5 * (sp - sm),
+        "s12": s12,
     }
 
 
@@ -454,7 +630,8 @@ def _category_values(diag, state, tr, nilyr, nslyr) -> dict:
         "aicen": state.aicen, "vicen": state.vicen, "vsnon": state.vsnon,
         "Tsfcn": trcrn[:, tr.nt_Tsfc],
         "fsurfn_ai": diag.fsurfn_ai, "flatn_ai": diag.flatn_ai,
-        "fcondtopn_ai": diag.fcondtopn_ai,
+        "fcondtopn_ai": diag.fcondtopn_ai, "fsensn_ai": diag.fsensn_ai,
+        "fmelttn_ai": diag.fmelttn_ai, "snowfracn": diag.snowfracn,
     }
     # vertical profiles: (ncat, nk, ny, nx) -> (nk, ncat, ny, nx)
     zqin = trcrn[:, tr.nt_qice:tr.nt_qice + nilyr]
@@ -485,6 +662,20 @@ def _tracer_values(state, tr) -> dict:
     import jax.numpy as jnp
     out = {}
     aicen, vicen = state.aicen, state.vicen
+    aice = jnp.sum(aicen, axis=0)
+    vice = jnp.sum(vicen, axis=0)
+    year_sec = 86400.0 * 365.0
+    if tr.nt_iage >= 0:
+        out["iage"] = jnp.sum(aicen * state.trcrn[:, tr.nt_iage], 0) \
+            / jnp.maximum(aice, ct.puny) / year_sec
+    if tr.nt_FY >= 0:
+        out["FY"] = jnp.sum(aicen * state.trcrn[:, tr.nt_FY], 0)
+    # bulk ice salinity (f_sice): layer-mean salinity, volume-weighted;
+    # the registry lays slots out as [Tsfc | qice | sice | qsno], so
+    # nilyr = nt_sice - nt_qice
+    nil = tr.nt_sice - tr.nt_qice
+    sal_mean = jnp.mean(state.trcrn[:, tr.nt_sice:tr.nt_sice + nil], axis=1)
+    out["sice"] = jnp.sum(sal_mean * vicen, 0) / jnp.maximum(vice, ct.puny)
     if tr.nt_alvl >= 0:
         out["alvl"] = jnp.sum(state.trcrn[:, tr.nt_alvl] * aicen, 0)
         out["vlvl"] = jnp.sum(state.trcrn[:, tr.nt_vlvl] * vicen, 0)

@@ -452,5 +452,5 @@ def eap(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
         divu=crop(divuR), shear=crop(shearR), rdg_conv=crop(rconvR),
         # rdg_shear = 0 for closing_net in ridge_prep
         # (ice_dyn_eap.F90:1262-1264)
-        rdg_shear=jnp.zeros((ny, nx), dtype), prs_sig=crop(prsR))
+        rdg_shear=jnp.zeros((ny, nx), dtype), prs_sig=crop(prsR), fm=fm)
     return EAPResult(evp=res, a11n=crop(a11R), a12n=crop(a12R))

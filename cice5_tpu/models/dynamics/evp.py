@@ -259,6 +259,9 @@ class EVPResult(NamedTuple):
     rdg_conv: jnp.ndarray
     rdg_shear: jnp.ndarray
     prs_sig: jnp.ndarray
+    fm: jnp.ndarray   # mass-weighted Coriolis fcor*umass (kg/m^2/s), for
+    # the strcorx/strcory history diagnostics (fm*vvel / -fm*uvel,
+    # ice_history.F90:1473-1478)
 
 
 def _region(field_2d, topo, loc=FieldLoc.CENTER, kind=FieldType.SCALAR):
@@ -436,7 +439,7 @@ def evp(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
         strintx=strintx, strinty=strinty,
         strtltx=strtltx, strtlty=strtlty,
         divu=crop(divuR), shear=crop(shearR), rdg_conv=crop(rconvR),
-        rdg_shear=crop(rshearR), prs_sig=crop(prsR))
+        rdg_shear=crop(rshearR), prs_sig=crop(prsR), fm=fm)
 
 
 def evp_chunked(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice,
@@ -606,4 +609,4 @@ def evp_chunked(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice,
         strintx=strintx, strinty=strinty,
         strtltx=strtltx, strtlty=strtlty,
         divu=divu, shear=shear, rdg_conv=rconv,
-        rdg_shear=rshear, prs_sig=prs)
+        rdg_shear=rshear, prs_sig=prs, fm=fm)

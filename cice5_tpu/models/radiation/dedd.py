@@ -708,6 +708,8 @@ class DEddResult(NamedTuple):
     albicen: jnp.ndarray
     albsnon: jnp.ndarray
     albpndn: jnp.ndarray
+    snowfracn: jnp.ndarray   # category snow fraction used in radiation
+    # (ice_shortwave.F90:127 snowfracn; f_snowfrac/f_snowfracn history)
 
 
 def shortwave_dEdd(*, nilyr, nslyr, aicen, vicen, vsnon, Tsfcn, apnd, hpnd,
@@ -882,4 +884,5 @@ def shortwave_dEdd(*, nilyr, nslyr, aicen, vicen, vsnon, Tsfcn, apnd, hpnd,
         fswpenln=jnp.where(Lk, mixk("fthrul", None), 0.0),
         albicen=jnp.where(L, broadband(r_bare), 0.0),
         albsnon=jnp.where(L, broadband(r_snow), 0.0),
-        albpndn=jnp.where(L, broadband(r_pond), 0.0))
+        albpndn=jnp.where(L, broadband(r_pond), 0.0),
+        snowfracn=jnp.where(L, fs, 0.0))

@@ -158,6 +158,92 @@ def aggregate(tr: TracerRegistry, aicen, vicen, vsnon, trcrn) -> Aggregate:
     return Aggregate(aice=aice, vice=vice, vsno=vsno, trcr=trcr, aice0=aice0)
 
 
+def aggregate_area(aicen):
+    """Category -> cell ice area + open-water fraction
+    (ice_itd.F90:468 aggregate_area). Returns (aice, aice0)."""
+    aice = jnp.sum(aicen, axis=0)
+    return aice, jnp.maximum(1.0 - aice, 0.0)
+
+
+def column_sum(xin):
+    """Sum a (nsum, *B) stack over its leading category/layer axis
+    (ice_itd.F90:1251 column_sum) — dense analog of the gathered loop."""
+    return jnp.sum(xin, axis=0)
+
+
+def column_conservation_check(x1, x2, max_err):
+    """Per-cell conservation check |x2 - x1| <= max_err
+    (ice_itd.F90:1299 column_conservation_check).
+
+    Dense analog of the reference's l_stop/istop/jstop abort: returns
+    (nbad, max_abs_err); the caller folds nbad into the in-step failure
+    counter (StepDiag.state_bad) and the host-side check_state dump
+    localizes the offending cells. The reference tolerance is calibrated
+    for f64; in f32 the column sums themselves round at ~eps32*|x|, so a
+    scale-aware term is added (the repo-wide f32 tolerance convention,
+    cf. bl99/mushy energy checks).
+    """
+    err = jnp.abs(x2 - x1)
+    tol = max_err + 16.0 * jnp.finfo(x1.dtype).eps * jnp.abs(x1)
+    return jnp.sum((err > tol).astype(jnp.int32)), jnp.max(err)
+
+
+def itd_conservation_sums(tr: TracerRegistry, nilyr, nslyr, aicen, vicen,
+                          vsnon, trcrn):
+    """Column sums of the five fields linear_itd conservation-checks:
+    vice, vsno, eice, esno, sice (ice_therm_itd.F90:700-860).
+
+    eicen = sum_k qice_k * vicen/nilyr per category (J/m^2), likewise
+    esnon; sicen = sum_k sice_k * vicen/nilyr. Returns a 5-tuple of (*B)
+    arrays.
+    """
+    eicen = jnp.sum(trcrn[:, tr.nt_qice:tr.nt_qice + nilyr], axis=1) \
+        * vicen / nilyr
+    esnon = jnp.sum(trcrn[:, tr.nt_qsno:tr.nt_qsno + nslyr], axis=1) \
+        * vsnon / nslyr
+    sicen = jnp.sum(trcrn[:, tr.nt_sice:tr.nt_sice + nilyr], axis=1) \
+        * vicen / nilyr
+    return (column_sum(vicen), column_sum(vsnon), column_sum(eicen),
+            column_sum(esnon), column_sum(sicen))
+
+
+def itd_conservation_check(pre, post):
+    """Check the 5 linear_itd column sums against the reference's
+    per-field tolerances (ice_therm_itd.F90:783-860: puny for volumes
+    and salt, puny*Lfresh*rho for energies). Returns the total count of
+    violating (cell, field) pairs, 0 when conserved."""
+    tols = (ct.puny, ct.puny, ct.puny * ct.Lfresh * ct.rhoi,
+            ct.puny * ct.Lfresh * ct.rhos, ct.puny)
+    nbad = jnp.zeros((), jnp.int32)
+    for x1, x2, tol in zip(pre, post, tols):
+        nb, _ = column_conservation_check(x1, x2, tol)
+        nbad = nbad + nb
+    return nbad
+
+
+def zerolayer_check(tr: TracerRegistry, nilyr, nslyr, aicen, vicen, vsnon,
+                    trcrn):
+    """ktherm=0 consistency check (ice_itd.F90:2428 zerolayer_check):
+    with zero heat capacity every enthalpy slot must equal the latent
+    placeholder, i.e. eicen + rhoi*Lfresh*vicen == 0 and
+    esnon + rhos*Lfresh*vsnon == 0 to within puny*Lfresh*rhos.
+    Returns the count of violating (cell, category) pairs."""
+    eps = jnp.finfo(vicen.dtype).eps
+    # reference tolerance (f64-calibrated) + the f32 rounding floor of
+    # the q*v products themselves (~eps*rho*Lfresh*v)
+    max_error_i = ct.puny * ct.Lfresh * ct.rhos \
+        + 16.0 * eps * ct.rhoi * ct.Lfresh * vicen
+    max_error_s = ct.puny * ct.Lfresh * ct.rhos \
+        + 16.0 * eps * ct.rhos * ct.Lfresh * vsnon
+    eicen = jnp.sum(trcrn[:, tr.nt_qice:tr.nt_qice + nilyr], axis=1) \
+        * vicen / nilyr
+    esnon = jnp.sum(trcrn[:, tr.nt_qsno:tr.nt_qsno + nslyr], axis=1) \
+        * vsnon / nslyr
+    bad_i = jnp.abs(eicen + ct.rhoi * ct.Lfresh * vicen) > max_error_i
+    bad_s = jnp.abs(esnon + ct.rhos * ct.Lfresh * vsnon) > max_error_s
+    return jnp.sum((bad_i | bad_s).astype(jnp.int32))
+
+
 # ----------------------------------------------------------------------
 # shift_ice (ice_itd.F90:815-1243)
 # ----------------------------------------------------------------------

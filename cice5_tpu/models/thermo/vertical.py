@@ -195,6 +195,20 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
                       qmlt[nilyr - 1]))
         qm = qm.at[nilyr - 1].set(newq - qmlt[nilyr - 1])
         congel = congel + dhi_g
+    elif ktherm == 0:
+        # zero layer: new bottom ice carries the latent placeholder only
+        # (ice_therm_vertical.F90:1575-1577, heat_capacity=F branch) —
+        # any sensible part would violate zerolayer_check
+        qbot = jnp.full_like(Tbot, -ct.rhoi * ct.Lfresh)
+        dhi_g = ebot_gro / qbot                       # > 0
+        hqtot = dzi[nilyr - 1] * zqin[nilyr - 1] + dhi_g * qbot
+        dzi = dzi.at[nilyr - 1].add(dhi_g)
+        newq = jnp.where(dzi[nilyr - 1] > ct.puny,
+                         hqtot / jnp.maximum(dzi[nilyr - 1], 1e-30),
+                         zqin[nilyr - 1])
+        zqin = zqin.at[nilyr - 1].set(newq)
+        qm = qm.at[nilyr - 1].set(newq - qmlt[nilyr - 1])
+        congel = congel + dhi_g
     else:
         Tmlts_b = -zSin[nilyr - 1] * ct.depressT
         if l_brine:

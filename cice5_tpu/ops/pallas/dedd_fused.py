@@ -100,13 +100,14 @@ def shortwave_dEdd_tiled(*, nilyr, nslyr, aicen, vicen, vsnon, Tsfcn,
         Sswabsn=jax.ShapeDtypeStruct((ncat, nslyr, ny, nx), dtype),
         Iswabsn=jax.ShapeDtypeStruct((ncat, nilyr, ny, nx), dtype),
         fswpenln=jax.ShapeDtypeStruct((ncat, nilyr + 1, ny, nx), dtype),
-        albicen=plane, albsnon=plane, albpndn=plane)
+        albicen=plane, albsnon=plane, albpndn=plane, snowfracn=plane)
     out_specs = DEddResult(
         alvdrn=cat_spec, alvdfn=cat_spec, alidrn=cat_spec,
         alidfn=cat_spec, fswsfcn=cat_spec, fswintn=cat_spec,
         fswthrun=cat_spec, Sswabsn=lay_spec(nslyr),
         Iswabsn=lay_spec(nilyr), fswpenln=lay_spec(nilyr + 1),
-        albicen=cat_spec, albsnon=cat_spec, albpndn=cat_spec)
+        albicen=cat_spec, albsnon=cat_spec, albpndn=cat_spec,
+        snowfracn=cat_spec)
 
     out = pl.pallas_call(
         kernel,

@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cice5_tpu import constants as ct
+from cice5_tpu.constants import FieldType
 from cice5_tpu.models.dynamics import shared as dyn
 from cice5_tpu.models.dynamics.evp import (EVPResult, _region,
                                            _extend_stress, stress_kernel)
@@ -245,4 +246,4 @@ def evp_fused(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice,
         strintx=strintx, strinty=strinty,
         strtltx=strtltx, strtlty=strtlty,
         divu=crop(divu), shear=crop(shear), rdg_conv=crop(rconv),
-        rdg_shear=crop(rshear), prs_sig=crop(prs))
+        rdg_shear=crop(rshear), prs_sig=crop(prs), fm=fm)

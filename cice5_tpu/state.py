@@ -197,6 +197,13 @@ class State:
     # update; seeds brine/BGC state; restart field,
     # ice_brine.F90:688-700 / ice_zbgc_shared.F90 first_ice)
     first_ice: jnp.ndarray
+    # melt/freeze season onset dates (day of year when top melt / fall
+    # freeze-up first occurs; 0 until then, reset each new year;
+    # ice_flux.F90 mlt_onset/frz_onset, set in ice_therm_vertical.F90
+    # thermo_vertical and ice_therm_itd.F90 add_new_ice; history
+    # f_mlt_onset/f_frz_onset)
+    mlt_onset: jnp.ndarray
+    frz_onset: jnp.ndarray
 
     @property
     def aice(self):
@@ -232,4 +239,5 @@ def zeros_state(cfg: ModelConfig, tr: TracerRegistry) -> State:
         a11n=jnp.full((4, ny, nx), 0.5, dt_),
         a12n=jnp.zeros((4, ny, nx), dt_),
         first_ice=jnp.ones((cfg.ncat, ny, nx), dt_),
+        mlt_onset=z2(), frz_onset=z2(),
     )

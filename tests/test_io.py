@@ -358,7 +358,7 @@ class TestExtendedCatalog:
             assert np.isfinite(sig1).all() and np.isfinite(sig2).all()
             # normalized principal stresses stay O(1) on the yield curve
             assert np.abs(sig1[icy]).max() < 3.0
-            pres = np.asarray(fh.variables["ice_present"][0])
+            pres = np.asarray(fh.variables["icepresent"][0])
             assert pres[icy].min() > 0.99
             fct = np.asarray(fh.variables["fcondtopn_ai"][0])
             assert fct.shape[0] == m.cfg.ncat

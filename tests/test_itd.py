@@ -292,3 +292,62 @@ class TestMushyFrazil:
         # mushy path returns the POP frazil-difference freshwater flux
         assert float(jnp.max(jnp.abs(r2.dfresh))) > 0.0
         assert float(jnp.max(jnp.abs(r1.dfresh))) == 0.0
+
+
+class TestConservationUtilities:
+    """aggregate_area / column_sum / column_conservation_check /
+    itd_conservation_* / zerolayer_check (ice_itd.F90:468,1251,1299,2428;
+    ice_therm_itd.F90:783-860)."""
+
+    def _state(self, ktherm=1):
+        from cice5_tpu.config import rect_config
+        from cice5_tpu.state import build_tracer_registry
+        cfg = rect_config()
+        tr = build_tracer_registry(cfg)
+        B = (4, 6)
+        ncat, nilyr, nslyr = cfg.ncat, cfg.nilyr, cfg.nslyr
+        rng = np.random.RandomState(3)
+        aicen = jnp.asarray(rng.uniform(0.0, 0.19, (ncat,) + B))
+        vicen = aicen * jnp.asarray(rng.uniform(0.5, 3.0, (ncat,) + B))
+        vsnon = aicen * 0.1
+        trcrn = jnp.zeros((ncat, tr.ntrcr) + B)
+        qi = -2.5e8 if ktherm else -ct.rhoi * ct.Lfresh
+        trcrn = trcrn.at[:, tr.nt_qice:tr.nt_qice + nilyr].set(qi)
+        trcrn = trcrn.at[:, tr.nt_qsno:tr.nt_qsno + nslyr].set(
+            -1.0e8 if ktherm else -ct.rhos * ct.Lfresh)
+        trcrn = trcrn.at[:, tr.nt_sice:tr.nt_sice + nilyr].set(5.0)
+        return tr, cfg, aicen, vicen, vsnon, trcrn
+
+    def test_aggregate_area(self):
+        tr, cfg, aicen, *_ = self._state()
+        aice, aice0 = itd.aggregate_area(aicen)
+        np.testing.assert_allclose(np.asarray(aice),
+                                   np.asarray(jnp.sum(aicen, 0)))
+        np.testing.assert_allclose(np.asarray(aice + aice0),
+                                   np.maximum(np.asarray(aice), 1.0))
+
+    def test_column_conservation_check(self):
+        x1 = jnp.ones((4, 6))
+        nbad, maxerr = itd.column_conservation_check(x1, x1 + 1e-13, 1e-11)
+        assert int(nbad) == 0
+        x2 = x1.at[2, 3].add(1e-6)
+        nbad, maxerr = itd.column_conservation_check(x1, x2, 1e-11)
+        assert int(nbad) == 1 and float(maxerr) > 9e-7
+
+    def test_itd_sums_conserved_under_shift(self):
+        tr, cfg, aicen, vicen, vsnon, trcrn = self._state()
+        pre = itd.itd_conservation_sums(tr, cfg.nilyr, cfg.nslyr,
+                                        aicen, vicen, vsnon, trcrn)
+        hin_max = itd.category_bounds(cfg.ncat, 1, 1)
+        out = itd.rebin(tr, hin_max, aicen, vicen, vsnon, trcrn)
+        post = itd.itd_conservation_sums(tr, cfg.nilyr, cfg.nslyr, *out)
+        assert int(itd.itd_conservation_check(pre, post)) == 0
+
+    def test_zerolayer_check(self):
+        tr, cfg, aicen, vicen, vsnon, trcrn = self._state(ktherm=0)
+        assert int(itd.zerolayer_check(tr, cfg.nilyr, cfg.nslyr, aicen,
+                                       vicen, vsnon, trcrn)) == 0
+        # corrupt one cell's ice enthalpy -> flagged
+        bad = trcrn.at[1, tr.nt_qice, 1, 1].add(1e7)
+        assert int(itd.zerolayer_check(tr, cfg.nilyr, cfg.nslyr, aicen,
+                                       vicen, vsnon, bad)) >= 1

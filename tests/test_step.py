@@ -124,3 +124,29 @@ class TestStepDecompositionInvariance:
                                    np.asarray(ref_state.trcrn), atol=1e-6)
         np.testing.assert_allclose(np.asarray(out_diag.fhocn),
                                    np.asarray(ref_diag.fhocn), atol=1e-9)
+
+
+def test_step_itd_conservation_and_zerolayer_checks():
+    """cfg.dyn.conserv_check folds linear_itd conservation violations and
+    (ktherm=0) zerolayer_check into StepDiag.state_bad
+    (ice_therm_itd.F90:783-860; ice_itd.F90:2428). A healthy step on a
+    small basin must report state_bad == 0 under both configs."""
+    import dataclasses
+    from cice5_tpu.config import rect_config
+    from cice5_tpu.driver.model import Model
+
+    cfg = rect_config(32, 32)
+    cfg = cfg.replace(dyn=dataclasses.replace(cfg.dyn, conserv_check=True))
+    m = Model(cfg)
+    st = m.init_state(ice_mask=m.grid.tmask)
+    st, diag = m.step(st, m.forcing_at(0))
+    assert int(diag.state_bad) == 0
+
+    cfg0 = rect_config(32, 32)
+    cfg0 = cfg0.replace(
+        thermo=dataclasses.replace(cfg0.thermo, ktherm=0),
+        dyn=dataclasses.replace(cfg0.dyn, conserv_check=True))
+    m0 = Model(cfg0)
+    st0 = m0.init_state(ice_mask=m0.grid.tmask)
+    st0, diag0 = m0.step(st0, m0.forcing_at(0))
+    assert int(diag0.state_bad) == 0
