@@ -106,6 +106,12 @@ class StepDiag(NamedTuple):
     strtlty: jnp.ndarray
     strcorx: jnp.ndarray        # Coriolis stress fm*vvel (N/m^2)
     strcory: jnp.ndarray        # Coriolis stress -fm*uvel
+    e11: jnp.ndarray            # strain-rate tensor, EAP diagnostics
+    e12: jnp.ndarray            # (zero under EVP; ice_dyn_eap.F90:1278)
+    e22: jnp.ndarray
+    yieldstress11: jnp.ndarray  # anisotropic yield-stress tensor
+    yieldstress12: jnp.ndarray  # (ice_dyn_eap.F90:1330-1339)
+    yieldstress22: jnp.ndarray
     albice: jnp.ndarray         # broadband bare-ice albedo (cell mean)
     albsno: jnp.ndarray         # broadband snow albedo
     albpnd: jnp.ndarray         # broadband pond albedo (dEdd only)
@@ -622,6 +628,12 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     strtlty_d = jnp.zeros((ny, nx), dtype)
     strcorx_d = jnp.zeros((ny, nx), dtype)
     strcory_d = jnp.zeros((ny, nx), dtype)
+    e11_d = jnp.zeros((ny, nx), dtype)
+    e12_d = jnp.zeros((ny, nx), dtype)
+    e22_d = jnp.zeros((ny, nx), dtype)
+    ys11_d = jnp.zeros((ny, nx), dtype)
+    ys12_d = jnp.zeros((ny, nx), dtype)
+    ys22_d = jnp.zeros((ny, nx), dtype)
 
     def _mean_age(an, tc):
         if not cfg.tracers.tr_iage:
@@ -681,6 +693,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                          Cw=Cw_ocn)
                 ev = er.evp
                 a11n, a12n = er.a11n, er.a12n
+                e11_d, e12_d, e22_d = er.e11, er.e12, er.e22
+                ys11_d, ys12_d, ys22_d = er.ys11, er.ys12, er.ys22
             else:
                 evp_fn = evp
                 if (cfg.dyn.evp_algorithm == "pallas"
@@ -888,6 +902,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         strintx=strintx_d, strinty=strinty_d,
         strtltx=strtltx_d, strtlty=strtlty_d,
         strcorx=strcorx_d, strcory=strcory_d,
+        e11=e11_d, e12=e12_d, e22=e22_d,
+        yieldstress11=ys11_d, yieldstress12=ys12_d, yieldstress22=ys22_d,
         albice=albice_d, albsno=albsno_d, albpnd=albpnd_d,
         dsnow=dsnow_d, fswint=fswint_d,
         daidtt=daidtt, dvidtt=dvidtt, daidtd=daidtd, dvidtd=dvidtd,

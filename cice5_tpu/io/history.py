@@ -179,12 +179,19 @@ TRACER_MEAN_FIELDS = [
     HistField("sice", "ppt", "bulk ice salinity"),
 ]
 
-# EAP structure tensor (f_a11/f_a12, ice_history.F90 eap block)
+# EAP structure tensor + strain/yield tensors (f_a11/f_a12/f_e11/
+# f_yieldstress11..., ice_history.F90 eap block)
 EAP_FIELDS = [
     HistField("a11", "1", "structure tensor component a11",
               instantaneous=True),
     HistField("a12", "1", "structure tensor component a12",
               instantaneous=True),
+    HistField("e11", "1/s", "strain-rate tensor component e11"),
+    HistField("e12", "1/s", "strain-rate tensor component e12"),
+    HistField("e22", "1/s", "strain-rate tensor component e22"),
+    HistField("yieldstress11", "N/m", "yield stress tensor component 11"),
+    HistField("yieldstress12", "N/m", "yield stress tensor component 12"),
+    HistField("yieldstress22", "N/m", "yield stress tensor component 22"),
 ]
 
 # per-category fields (a3Dc class; f_aicen/f_vicen/... flags,
@@ -529,7 +536,11 @@ def diag_to_values(diag, state, grid, tr=None, forcing=None,
                       + forcing.swidf * diag.alidf)})
     eap = {}
     if getattr(state, "a11n", None) is not None:
-        eap = {"a11": state.a11n[0], "a12": state.a12n[0]}
+        eap = {"a11": state.a11n[0], "a12": state.a12n[0],
+               "e11": diag.e11, "e12": diag.e12, "e22": diag.e22,
+               "yieldstress11": diag.yieldstress11,
+               "yieldstress12": diag.yieldstress12,
+               "yieldstress22": diag.yieldstress22}
     return extra | eap | {
         "aice": aice, "hi": diag.vice, "hs": diag.vsno, "Tsfc": diag.Tsfc,
         "uvel": state.uvel, "vvel": state.vvel,

@@ -290,6 +290,12 @@ class EAPStressResult(NamedTuple):
     shear: jnp.ndarray
     rdg_conv: jnp.ndarray
     prs_sig: jnp.ndarray
+    e11: jnp.ndarray      # strain-rate tensor (f_e11/e12/e22 history)
+    e12: jnp.ndarray
+    e22: jnp.ndarray
+    ys11: jnp.ndarray     # anisotropic yield-stress tensor
+    ys12: jnp.ndarray     # (f_yieldstress11/12/22 history)
+    ys22: jnp.ndarray
 
 
 def stress_eap_kernel(p: dyn.EVPParams, uvE, vvE, stress, a11_k, a12_k,
@@ -320,6 +326,19 @@ def stress_eap_kernel(p: dyn.EVPParams, uvE, vvE, stress, a11_k, a12_k,
     divu = P25 * (divs[0] + divs[1] + divs[2] + divs[3]) * tarear
     rdg_conv = -jnp.minimum(
         P25 * (alphar[0] + alphar[1] + alphar[2] + alphar[3]), 0.0) * tarear
+    # strain-rate tensor components (ice_dyn_eap.F90:1278-1284) and the
+    # anisotropic yield-stress tensor (:1330-1339), corner means
+    dsum = divs[0] + divs[1] + divs[2] + divs[3]
+    tsum = tens[0] + tens[1] + tens[2] + tens[3]
+    e11 = 0.5 * P25 * (dsum + tsum) * tarear
+    e12 = 0.5 * P25 * (shears[0] + shears[1] + shears[2]
+                       + shears[3]) * tarear
+    e22 = 0.5 * P25 * (dsum - tsum) * tarear
+    spsum = sp_t[0] + sp_t[1] + sp_t[2] + sp_t[3]
+    smsum = sm_t[0] + sm_t[1] + sm_t[2] + sm_t[3]
+    ys11 = 0.5 * P25 * (spsum + smsum)
+    ys22 = 0.5 * P25 * (spsum - smsum)
+    ys12 = P25 * (s12_t[0] + s12_t[1] + s12_t[2] + s12_t[3])
 
     # elastic relaxation (Eq. A12-A14)
     d1, a1 = p.denom1, p.arlx1i
@@ -337,13 +356,21 @@ def stress_eap_kernel(p: dyn.EVPParams, uvE, vvE, stress, a11_k, a12_k,
     str8 = stress_divergence(comps, dxt, dyt, gR["dxhy"], gR["dyhx"], maskR)
     return EAPStressResult(stress=jnp.stack(comps), str8=str8, divu=divu,
                            shear=shear_d, rdg_conv=rdg_conv,
-                           prs_sig=jnp.where(m, strengthR, z))
+                           prs_sig=jnp.where(m, strengthR, z),
+                           e11=e11, e12=e12, e22=e22,
+                           ys11=ys11, ys12=ys12, ys22=ys22)
 
 
 class EAPResult(NamedTuple):
     evp: EVPResult        # same surface as the EVP driver
     a11n: jnp.ndarray     # (4, ny, nx) per-corner structure tensor
     a12n: jnp.ndarray
+    e11: jnp.ndarray      # strain-rate / yield-stress tensor diagnostics
+    e12: jnp.ndarray      # from the LAST subcycle (ice_dyn_eap.F90:
+    e22: jnp.ndarray      # 1278-1284, 1330-1339)
+    ys11: jnp.ndarray
+    ys12: jnp.ndarray
+    ys22: jnp.ndarray
 
 
 def eap(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
@@ -423,14 +450,17 @@ def eap(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
         a12_k = jnp.where(upd, a12_new, a12_k)
         return (s.uvel, s.vvel, r.stress, a11_k, a12_k,
                 (r.divu, r.shear, r.rdg_conv, r.prs_sig,
-                 s.strintx, s.strinty))
+                 s.strintx, s.strinty,
+                 r.e11, r.e12, r.e22, r.ys11, r.ys12, r.ys22))
 
     zR = jnp.zeros_like(strengthR)
     z2 = jnp.zeros_like(uvel)
-    init = (uvel, vvel, stressR, a11R, a12R, (zR, zR, zR, zR, z2, z2))
+    init = (uvel, vvel, stressR, a11R, a12R,
+            (zR, zR, zR, zR, z2, z2, zR, zR, zR, zR, zR, zR))
     u, v, stressR, a11R, a12R, diags = jax.lax.fori_loop(
         0, p.ndte, body, init)
-    divuR, shearR, rconvR, prsR, strintx, strinty = diags
+    (divuR, shearR, rconvR, prsR, strintx, strinty,
+     e11R, e12R, e22R, ys11R, ys12R, ys22R) = diags
 
     strocnx, strocny, sTx_u, sTy_u = dyn.evp_finish(
         p, icemask=icem_u, uvel=u, vvel=v, uocn=uocn, vocn=vocn, aiu=aiu,
@@ -453,4 +483,7 @@ def eap(dt, p: dyn.EVPParams, grid, topo: Topology, *, aice, vice, vsno,
         # rdg_shear = 0 for closing_net in ridge_prep
         # (ice_dyn_eap.F90:1262-1264)
         rdg_shear=jnp.zeros((ny, nx), dtype), prs_sig=crop(prsR), fm=fm)
-    return EAPResult(evp=res, a11n=crop(a11R), a12n=crop(a12R))
+    return EAPResult(evp=res, a11n=crop(a11R), a12n=crop(a12R),
+                     e11=crop(e11R), e12=crop(e12R), e22=crop(e22R),
+                     ys11=crop(ys11R), ys12=crop(ys12R),
+                     ys22=crop(ys22R))

@@ -234,3 +234,24 @@ class TestEAPStep:
         assert np.isfinite(np.asarray(st.a11n)).all()
         a11 = np.asarray(st.a11n)
         assert a11.min() >= -1e-9 and a11.max() <= 1.0 + 1e-9
+
+
+def test_eap_step_tensor_diagnostics():
+    """A kdyn=2 full step populates the strain-rate and yield-stress
+    tensor diagnostics (ice_dyn_eap.F90:1278-1284,1330-1339) in StepDiag;
+    EVP steps leave them zero."""
+    import dataclasses
+    import jax.numpy as jnp
+    from cice5_tpu.config import rect_config
+    from cice5_tpu.driver.model import Model
+
+    cfg = rect_config(24, 32)
+    cfg = cfg.replace(dyn=dataclasses.replace(cfg.dyn, kdyn=2, ndte=30))
+    m = Model(cfg)
+    st = m.init_state(ice_mask=m.grid.tmask)
+    st, d = m.step(st, m.forcing_at(0))
+    for arr in (d.e11, d.e12, d.e22, d.yieldstress11, d.yieldstress12,
+                d.yieldstress22):
+        assert bool(jnp.isfinite(arr).all())
+    assert float(jnp.abs(d.e11).max()) > 0.0
+    assert float(jnp.abs(d.yieldstress11).max()) > 0.0
