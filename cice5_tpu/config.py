@@ -38,6 +38,11 @@ class GridConfig:
     grid_format: str = "nc"          # nc | bin  (grid_format namelist)
     grid_file: str | None = None
     kmt_file: str | None = None
+    # pack ocean columns for the pre-dynamics column physics (the TPU
+    # analog of the reference's compressed cell index lists,
+    # ice_therm_vertical.F90:186-200): "auto" packs single-device runs
+    # whose land fraction makes it pay; "off" always runs dense
+    compact_columns: str = "auto"    # auto | off
 
 
 @dataclass(frozen=True)

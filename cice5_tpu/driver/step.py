@@ -129,18 +129,87 @@ class StepDiag(NamedTuple):
     grow_net: jnp.ndarray    # net specific algal growth (1/s)
 
 
-def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
-         tr: TracerRegistry, topo: Topology, hin_max,
-         salinz) -> tuple[State, StepDiag]:
-    """Advance the sea-ice state by one thermo step (cfg.time.dt)."""
+LANE = 128   # TPU lane width: packed column batches are (rows, LANE)
+
+
+class ColumnPacking(NamedTuple):
+    """Static ocean-column packing for the pre-dynamics column physics.
+
+    The TPU analog of the reference's compressed cell index lists
+    (``icells``/``indxi``/``indxj``, e.g. ice_therm_vertical.F90:186-200,
+    ice_itd.F90): instead of gathering per-subroutine, the whole column
+    section runs once on a dense (rows, LANE) batch holding only ocean
+    cells, skipping land (~37% of gx1). Indices are built host-side from
+    the static land mask (pack_columns); padding columns point at a land
+    cell (no-ice physics, converges immediately) and are dropped on
+    scatter (sidx = ny*nx out-of-bounds + mode='drop')."""
+    gidx: jnp.ndarray    # (P,) flat gather indices into ny*nx
+    sidx: jnp.ndarray    # (P,) flat scatter indices; pads = ny*nx (dropped)
+
+
+def pack_columns(tmask, min_land_frac: float = 0.02) -> ColumnPacking | None:
+    """Build a ColumnPacking from a host-side land mask (None if the grid
+    has too little land for compaction to pay, or no ocean at all)."""
+    import numpy as np
+    t = np.asarray(tmask).astype(bool)
+    ny, nx = t.shape
+    ocn = np.flatnonzero(t.ravel())
+    land = np.flatnonzero(~t.ravel())
+    if ocn.size == 0 or land.size < min_land_frac * t.size:
+        return None
+    tile = 16 * LANE      # row-pad so dEdd's row-block tiling stays 16
+    P = -(-ocn.size // tile) * tile
+    pad = P - ocn.size
+    gidx = np.concatenate([ocn, np.full(pad, land[0])]).astype(np.int32)
+    sidx = np.concatenate([ocn, np.full(pad, ny * nx)]).astype(np.int32)
+    return ColumnPacking(gidx=jnp.asarray(gidx), sidx=jnp.asarray(sidx))
+
+
+def _gather_cols(x, gidx):
+    """(..., ny, nx) -> (..., P//LANE, LANE) packed ocean columns."""
+    lead = x.shape[:-2]
+    g = jnp.take(x.reshape(*lead, -1), gidx, axis=-1)
+    return g.reshape(*lead, gidx.shape[0] // LANE, LANE)
+
+
+def _scatter_cols(vals, sidx, base):
+    """Packed (..., P//LANE, LANE) -> dense, land cells keep `base`."""
+    lead = vals.shape[:-2]
+    flat = base.reshape(*base.shape[:-2], -1)
+    out = flat.at[..., sidx].set(vals.reshape(*lead, -1), mode="drop")
+    return out.reshape(base.shape)
+
+
+class ColState(NamedTuple):
+    """The slice of State the column physics reads (possibly packed)."""
+    aicen: jnp.ndarray
+    vicen: jnp.ndarray
+    vsnon: jnp.ndarray
+    trcrn: jnp.ndarray
+    first_ice: jnp.ndarray
+    strocnxT: jnp.ndarray
+    strocnyT: jnp.ndarray
+
+
+def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
+                    uice_T, vice_T, tmask, ULAT, salinz, cfg: ModelConfig,
+                    tr: TracerRegistry, hin_max):
+    """Pre-dynamics column physics: radiation, ABL + vertical thermo,
+    optional tracers, BGC, and step_therm2 ITD evolution
+    (ice_step_mod.F90 step_therm1/step_therm2). Batch-shape polymorphic:
+    every input array trails the same batch dims B — either the dense
+    (ny, nx) grid or a ColumnPacking's packed (rows, LANE) ocean batch.
+
+    Returns (stout, dg, sc): state-like arrays (scattered over their
+    dense originals), diagnostic fields (scattered over zeros), and
+    batch-invariant scalars."""
     dt = cfg.time.dt
     ncat, nilyr, nslyr = cfg.ncat, cfg.nilyr, cfg.nslyr
-    ny, nx = grid.shape
     dtype = state.aicen.dtype
-    tmask = grid.tmask
 
     aicen, vicen, vsnon, trcrn = (state.aicen, state.vicen, state.vsnon,
                                   state.trcrn)
+    B = aicen.shape[1:]
     Tsfcn = trcrn[:, tr.nt_Tsfc]
     zqin = trcrn[:, tr.nt_qice:tr.nt_qice + nilyr]
     zSin = trcrn[:, tr.nt_sice:tr.nt_sice + nilyr]
@@ -170,8 +239,6 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         Cw_ocn = ct.dragio
 
     Tf = forcing.Tf
-    sst = state.sst if cfg.forcing.oceanmixed_ice else forcing.sst
-    sst = jnp.maximum(sst, Tf)
 
     # ---------------- radiation per category via vmap -------------------
     sw = cfg.shortwave
@@ -247,7 +314,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
 
         with jax.named_scope("sw_radiation_ccsm3"):
             alb, absr = jax.vmap(rad_one)(aicen, vicen, vsnon, Tsfcn)
-        Sswabsn = jnp.zeros((ncat, nslyr, ny, nx), dtype)
+        Sswabsn = jnp.zeros((ncat, nslyr, *B), dtype)
         albpndn = jnp.zeros_like(aicen)   # no pond albedo in CCSM3
         # CCSM3 snow patchiness fraction (compute_albedos asnow)
         hs_r = jnp.where(aicen > ct.puny,
@@ -256,7 +323,6 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                               hs_r / (hs_r + ct.snowpatch), 0.0)
 
     # ---------------- bottom flux & lateral melt potential --------------
-    frzmlt = state.frzmlt if cfg.forcing.oceanmixed_ice else forcing.frzmlt
     qicen_tot = jnp.sum(zqin, axis=1) * vicen / nilyr      # (ncat, ny, nx)
     qsnon_tot = jnp.sum(zqsn, axis=1) * vsnon / nslyr
     Tbot, fbot, rside = vertical.frzmlt_bottom_lateral(
@@ -264,14 +330,6 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         state.strocnxT, state.strocnyT, ustar_min=cfg.thermo.ustar_min,
         Cdn_ocn=(Cw_ocn if cfg.thermo.fbot_xfer_type == "Cdn_ocn"
                  else None))
-
-    # high-frequency (RASM) coupling uses winds relative to the ice drift
-    # at T points (ice_atmo.F90:220-227; Roberts et al 2014)
-    if cfg.forcing.highfreq:
-        uice_T = dyn.to_tgrid(state.uvel, grid, topo)
-        vice_T = dyn.to_tgrid(state.vvel, grid, topo)
-    else:
-        uice_T = vice_T = None
 
     # ---------------- per-category ABL + vertical thermo (vmap) ---------
     def therm_one(aic, vic, vsn, tsf, zqi, zqs, zsi, fswsfc, fswint, Iswabs,
@@ -394,7 +452,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
             increment_age(dt, trcrn[:, tr.nt_iage], aicen))
     if tcfg.tr_FY:
         from cice5_tpu.models.tracers.simple import update_FYarea
-        nhmask = grid.ULAT >= 0.0
+        nhmask = ULAT >= 0.0
         trcrn = trcrn.at[:, tr.nt_FY].set(
             update_FYarea(dt, forcing.yday, trcrn[:, tr.nt_FY], aicen,
                           nhmask[None]))
@@ -414,7 +472,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         asno = jnp.moveaxis(asno, 0, 2)
         aice_st = jnp.moveaxis(aice_st, 0, 2)
         faero_atm = (forcing.faero_atm if forcing.faero_atm is not None
-                     else faero_default(na, (ny, nx), dtype))
+                     else faero_default(na, B, dtype))
         ares = update_aerosol(
             dt, meltt=tres.meltt, melts=tres.melts, meltb=tres.meltb,
             congel=tres.congel, snoice=tres.snoice,
@@ -430,7 +488,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                 jnp.moveaxis(ares.aeroice[k], 1, 0))
         faero_ocn = jnp.sum(ares.faero_ocn, axis=1)   # sum over categories
 
-    fpond_step = jnp.zeros((ny, nx), dtype)   # pond water volume change (m)
+    fpond_step = jnp.zeros(B, dtype)   # pond water volume change (m)
     if tcfg.tr_pond:
         def _pond_volume(tc, an):
             v = tc[:, tr.nt_apnd] * tc[:, tr.nt_hpnd] * an
@@ -532,7 +590,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
             nb = tr.nbtrcr
             conc = jnp.moveaxis(trcrn[:, b0:b0 + nb], 1, 0)  # (nb, ncat,...)
             ob = (forcing.ocean_bio if forcing.ocean_bio is not None
-                  else algae.default_ocean_bio(tr, (ny, nx), dtype))[:, None]
+                  else algae.default_ocean_bio(tr, B, dtype))[:, None]
             sk = algae.skl_biogeochemistry(
                 dt, tr, conc=conc, ocean_bio=ob, aicen=aicen,
                 meltb=tres.meltb, congel=tres.congel,
@@ -607,6 +665,109 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     vicen = jnp.where(tmask[None], vicen, 0.0)
     vsnon = jnp.where(tmask[None], vsnon, 0.0)
 
+    stout = dict(aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
+                 first_ice=first_ice)
+    dg = dict(fsens=fsens, flat=flat, flwout=flwout, evap=evap,
+              fresh=fresh, fsalt=fsalt, fhocn=fhocn, fswthru=fswthru,
+              fswabs=fswabs, strairxT=strairxT, strairyT=strairyT,
+              meltt=meltt, melts=melts, meltb=meltb, congel=congel,
+              snoice=snoice, frazil=frazil, meltl=meltl,
+              fpond_step=fpond_step, fsurf=fsurf_d, fcondtop=fcondtop_d,
+              Tref=Tref_d, Qref=Qref_d, Uref=Uref_d, albice=albice_d,
+              albsno=albsno_d, albpnd=albpnd_d, fswint=fswint_d,
+              dsnow=dsnow_d, aice_pre=agg0.aice, vice_pre=agg0.vice,
+              alvdrn=alb.alvdrn, alvdfn=alb.alvdfn, alidrn=alb.alidrn,
+              alidfn=alb.alidfn, snowfracn=snowfracn,
+              fsurfn_ai=w * tres.fsurfn, flatn_ai=w * tres.flatn,
+              fsensn_ai=w * tres.fsensn,
+              fmelttn_ai=w * jnp.maximum(tres.fsurfn - tres.fcondtopn,
+                                         0.0),
+              fcondtopn_ai=w * tres.fcondtopn)
+    if cfg.forcing.formdrag:
+        dg["Cw_ocn"] = Cw_ocn
+    if tcfg.tr_aero:
+        dg["faero_ocn"] = faero_ocn
+    if tcfg.skl_bgc:
+        dg["flux_bio"] = flux_bio
+        dg["PP_net"] = PP_net
+        dg["grow_net"] = grow_net
+    sc = dict(itd_bad=itd_bad,
+              therm_converged=jnp.all(tres.converged),
+              ferr_max=jnp.max(tres.ferr))
+    return stout, dg, sc
+
+
+def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
+         tr: TracerRegistry, topo: Topology, hin_max, salinz,
+         packing: ColumnPacking | None = None) -> tuple[State, StepDiag]:
+    """Advance the sea-ice state by one thermo step (cfg.time.dt)."""
+    dt = cfg.time.dt
+    ncat, nilyr, nslyr = cfg.ncat, cfg.nilyr, cfg.nslyr
+    ny, nx = grid.shape
+    dtype = state.aicen.dtype
+    tmask = grid.tmask
+    tcfg = cfg.tracers
+
+    # pre-column 2-D prep (fields the column section consumes)
+    sst = state.sst if cfg.forcing.oceanmixed_ice else forcing.sst
+    sst = jnp.maximum(sst, forcing.Tf)
+    frzmlt = state.frzmlt if cfg.forcing.oceanmixed_ice else forcing.frzmlt
+    # high-frequency (RASM) coupling uses winds relative to the ice drift
+    # at T points (ice_atmo.F90:220-227; Roberts et al 2014)
+    if cfg.forcing.highfreq:
+        uice_T = dyn.to_tgrid(state.uvel, grid, topo)
+        vice_T = dyn.to_tgrid(state.vvel, grid, topo)
+    else:
+        uice_T = vice_T = None
+
+    colin = dict(
+        state=ColState(aicen=state.aicen, vicen=state.vicen,
+                       vsnon=state.vsnon, trcrn=state.trcrn,
+                       first_ice=state.first_ice,
+                       strocnxT=state.strocnxT, strocnyT=state.strocnyT),
+        forcing=forcing, sst=sst, frzmlt=frzmlt, uice_T=uice_T,
+        vice_T=vice_T, tmask=tmask, ULAT=jnp.asarray(grid.ULAT),
+        salinz=salinz)
+    if packing is not None:
+        # pack ocean columns: skip land cells through the whole column
+        # section (the reference's compressed index lists, §ColumnPacking)
+        colin = jax.tree_util.tree_map(
+            lambda x: _gather_cols(x, packing.gidx)
+            if (hasattr(x, "ndim") and x.ndim >= 2
+                and x.shape[-2:] == (ny, nx)) else x, colin)
+    stout, dg, sc = _column_physics(
+        colin["state"], colin["forcing"], sst=colin["sst"],
+        frzmlt=colin["frzmlt"], uice_T=colin["uice_T"],
+        vice_T=colin["vice_T"], tmask=colin["tmask"], ULAT=colin["ULAT"],
+        salinz=colin["salinz"], cfg=cfg, tr=tr, hin_max=hin_max)
+    if packing is not None:
+        base = dict(aicen=state.aicen, vicen=state.vicen,
+                    vsnon=state.vsnon, trcrn=state.trcrn,
+                    first_ice=state.first_ice)
+        stout = {k: _scatter_cols(v, packing.sidx, base[k])
+                 for k, v in stout.items()}
+        dg = {k: _scatter_cols(v, packing.sidx,
+                               jnp.zeros((*v.shape[:-2], ny, nx), v.dtype))
+              for k, v in dg.items()}
+
+    aicen, vicen, vsnon = stout["aicen"], stout["vicen"], stout["vsnon"]
+    trcrn = stout["trcrn"]
+    first_ice = stout["first_ice"]
+    (fsens, flat, flwout, evap, fresh, fsalt, fhocn, fswthru, fswabs,
+     strairxT, strairyT, meltt, melts, meltb, congel, snoice, frazil,
+     meltl, fpond_step) = (dg[k] for k in (
+         "fsens", "flat", "flwout", "evap", "fresh", "fsalt", "fhocn",
+         "fswthru", "fswabs", "strairxT", "strairyT", "meltt", "melts",
+         "meltb", "congel", "snoice", "frazil", "meltl", "fpond_step"))
+    fsurf_d, fcondtop_d = dg["fsurf"], dg["fcondtop"]
+    Tref_d, Qref_d, Uref_d = dg["Tref"], dg["Qref"], dg["Uref"]
+    albice_d, albsno_d, albpnd_d = (dg["albice"], dg["albsno"],
+                                    dg["albpnd"])
+    fswint_d, dsnow_d = dg["fswint"], dg["dsnow"]
+    snowfracn = dg["snowfracn"]
+    Cw_ocn = dg["Cw_ocn"] if cfg.forcing.formdrag else ct.dragio
+    itd_bad = sc["itd_bad"]
+
     # ---------------- dynamics: EVP + transport + ridging ---------------
     uvel, vvel = state.uvel, state.vvel
     stressp, stressm, stress12 = state.stressp, state.stressm, state.stress12
@@ -647,8 +808,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     aice_mid = jnp.sum(aicen, axis=0)
     vice_mid = jnp.sum(vicen, axis=0)
     age_mid = _mean_age(aicen, trcrn)
-    daidtt = (aice_mid - agg0.aice) / dt
-    dvidtt = (vice_mid - agg0.vice) / dt
+    daidtt = (aice_mid - dg["aice_pre"]) / dt
+    dvidtt = (vice_mid - dg["vice_pre"]) / dt
     dagedtt = (age_mid - _mean_age(state.aicen, state.trcrn)) / dt
     if cfg.dyn.kdyn >= 1:
         if cfg.dyn.yield_curve != "ellipse":
@@ -834,10 +995,10 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         frzmlt_out = forcing.frzmlt
 
     # cell-mean albedos incl. open water (coupling_prep, CICE_RunMod.F90:269)
-    alvdr = jnp.sum(aicen * alb.alvdrn, axis=0) + aggf.aice0 * ct.albocn
-    alvdf = jnp.sum(aicen * alb.alvdfn, axis=0) + aggf.aice0 * ct.albocn
-    alidr = jnp.sum(aicen * alb.alidrn, axis=0) + aggf.aice0 * ct.albocn
-    alidf = jnp.sum(aicen * alb.alidfn, axis=0) + aggf.aice0 * ct.albocn
+    alvdr = jnp.sum(aicen * dg["alvdrn"], axis=0) + aggf.aice0 * ct.albocn
+    alvdf = jnp.sum(aicen * dg["alvdfn"], axis=0) + aggf.aice0 * ct.albocn
+    alidr = jnp.sum(aicen * dg["alidrn"], axis=0) + aggf.aice0 * ct.albocn
+    alidf = jnp.sum(aicen * dg["alidfn"], axis=0) + aggf.aice0 * ct.albocn
     # net absorbed SW for next step's scale_factor: full 4-band sum
     # (coupling_prep, drivers/cice/CICE_RunMod.F90:376-382)
     scale_factor = (
@@ -884,17 +1045,17 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         dardg1dt=dardg1dt, dvirdgdt=dvirdgdt, divu=divu, shear=shear_d,
         alvdr=alvdr, alvdf=alvdf, alidr=alidr, alidf=alidf,
         Tsfc=aggf.trcr[tr.nt_Tsfc],
-        therm_converged=jnp.all(tres.converged),
-        ferr_max=jnp.max(tres.ferr),
+        therm_converged=sc["therm_converged"],
+        ferr_max=sc["ferr_max"],
         fpond=fpond_step,
         transport_conserv_err=conserv_err,
         transport_mono_bad=mono_bad,
-        fsurfn_ai=w * tres.fsurfn,
-        flatn_ai=w * tres.flatn,
-        fsensn_ai=w * tres.fsensn,
-        fmelttn_ai=w * jnp.maximum(tres.fsurfn - tres.fcondtopn, 0.0),
+        fsurfn_ai=dg["fsurfn_ai"],
+        flatn_ai=dg["flatn_ai"],
+        fsensn_ai=dg["fsensn_ai"],
+        fmelttn_ai=dg["fmelttn_ai"],
         snowfracn=snowfracn,
-        fcondtopn_ai=w * tres.fcondtopn,
+        fcondtopn_ai=dg["fcondtopn_ai"],
         fsurf=fsurf_d, fcondtop=fcondtop_d,
         Tref=Tref_d, Qref=Qref_d, Uref=Uref_d,
         strength=strength_d, prs_sig=prs_sig_d,
@@ -908,12 +1069,13 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         dsnow=dsnow_d, fswint=fswint_d,
         daidtt=daidtt, dvidtt=dvidtt, daidtd=daidtd, dvidtd=dvidtd,
         dagedtt=dagedtt, dagedtd=dagedtd,
-        faero_ocn=(faero_ocn if tcfg.tr_aero
+        faero_ocn=(dg["faero_ocn"] if tcfg.tr_aero
                    else jnp.zeros((0, ny, nx), dtype)),
-        flux_bio=(flux_bio if tcfg.skl_bgc
+        flux_bio=(dg["flux_bio"] if tcfg.skl_bgc
                   else jnp.zeros((0, ny, nx), dtype)),
-        PP_net=(PP_net if tcfg.skl_bgc else jnp.zeros((ny, nx), dtype)),
-        grow_net=(grow_net if tcfg.skl_bgc
+        PP_net=(dg["PP_net"] if tcfg.skl_bgc
+                else jnp.zeros((ny, nx), dtype)),
+        grow_net=(dg["grow_net"] if tcfg.skl_bgc
                   else jnp.zeros((ny, nx), dtype)))
     return new_state, diag
 
