@@ -38,11 +38,17 @@ class GridConfig:
     grid_format: str = "nc"          # nc | bin  (grid_format namelist)
     grid_file: str | None = None
     kmt_file: str | None = None
-    # pack ocean columns for the pre-dynamics column physics (the TPU
-    # analog of the reference's compressed cell index lists,
-    # ice_therm_vertical.F90:186-200): "auto" packs single-device runs
-    # whose land fraction makes it pay; "off" always runs dense
-    compact_columns: str = "auto"    # auto | off
+    # pack ocean columns for the pre-dynamics column physics (the analog
+    # of the reference's compressed cell index lists,
+    # ice_therm_vertical.F90:186-200). MEASURED NEGATIVE everywhere: on
+    # TPU the per-cell gather/scatter of the state costs far more than
+    # the skipped land compute (gx1 parity 35.6 -> 77.9 ms/step; gathers
+    # along the lane axis are the expensive op — dense masked compute
+    # wins, SURVEY.md §2.10.6), and on CPU it is ~2% slower (dynamics,
+    # which stays dense, dominates there). "auto" therefore = "off";
+    # "on" forces packing (kept as an exercised, equivalence-tested
+    # path: tests/test_column_packing.py).
+    compact_columns: str = "auto"    # auto | on | off
 
 
 @dataclass(frozen=True)

@@ -127,9 +127,24 @@ class Model:
         self.topo = Topology(ew=cfg.grid.ew_boundary, ns=cfg.grid.ns_boundary)
         self.calendar = Calendar(cfg.time.year_init, cfg.time.days_per_year,
                                  cfg.time.use_leap_years)
+        # ocean-column packing for the column-physics section (the analog
+        # of the reference's icells/indxi/indxj compressed lists,
+        # ice_therm_vertical.F90:186-200). Single-device only (sharded
+        # runs would need equal packed sizes per shard; ShardedModel
+        # stays dense), and — measured — a LOSS on TPU, where the
+        # per-cell gather/scatter outweighs the skipped land compute
+        # (see GridConfig.compact_columns); "auto" packs only on CPU.
+        self.packing = None
+        want_pack = (cfg.grid.compact_columns == "on"
+                     or (cfg.grid.compact_columns == "auto"
+                         and jax.default_backend() == "cpu"))
+        if want_pack:
+            from cice5_tpu.driver.step import pack_columns
+            self.packing = pack_columns(self.grid.tmask)
         self._jstep = jax.jit(partial(
             step_fn, cfg=cfg, tr=self.tr, topo=self.topo,
-            hin_max=self.hin_max, salinz=self.salinz))
+            hin_max=self.hin_max, salinz=self.salinz,
+            packing=self.packing))
         self._jforcing = jax.jit(partial(
             idealized_polar_forcing, self.grid.shape,
             dtype=cfg.xp_dtype, tlat=self.grid.TLAT,

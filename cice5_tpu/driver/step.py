@@ -974,7 +974,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         fresh = fresh - fpond_step * ct.rhofresh / dt
     if cfg.forcing.oceanmixed_ice:
         ml = ocean.ocean_mixed_layer(
-            dt, sst=sst, Tf=Tf, hmix=forcing.hmix, qdp=forcing.qdp,
+            dt, sst=sst, Tf=forcing.Tf, hmix=forcing.hmix, qdp=forcing.qdp,
             aice=aggf.aice, fhocn=fhocn, fswthru=fswthru,
             uatm=forcing.uatm, vatm=forcing.vatm, wind=forcing.wind,
             zlvl=forcing.zlvl, potT=forcing.potT, Qa=forcing.Qa,

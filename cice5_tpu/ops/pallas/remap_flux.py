@@ -77,23 +77,29 @@ def integrals_tiled(edge: str, donor, triarea, qx, qy, mcE, mxE, myE,
     nb = pl.cdiv(nyr, BY)
     views = _views_north if edge == "north" else _views_east
 
-    # row-pad the extended fields so block t+1 always exists
-    nyP = (nb + 1) * BY
-    pad = nyP - mcE.shape[-2]
-    if pad > 0:
-        padw = [(0, 0)] * (mcE.ndim - 2) + [(0, pad), (0, 0)]
-        mcE, mxE, myE = (jnp.pad(a, padw) for a in (mcE, mxE, myE))
-        padw = [(0, 0)] * (tcE.ndim - 2) + [(0, pad), (0, 0)]
-        tcE, txE, tyE = (jnp.pad(a, padw) for a in (tcE, txE, tyE))
+    # Window block B is block t+1 of the extended fields, CLAMPED to the
+    # last addressable (ragged) row block. No physical row pad is needed
+    # (an earlier version jnp.pad-ed the ~57 MB tracer stacks — ~1
+    # ms/step of pure HBM copies at gx1 size, xprof): whenever the clamp
+    # engages, every row the valid flux rows of that tile read already
+    # sits in block A — valid flux rows end at nyr-1 and read rows
+    # <= nyr + span - 2 <= nyE - 1, all inside A's ragged block since
+    # A then covers [t*BY, nyE). Rows of the window beyond nyE are
+    # undefined but only feed flux rows >= nyr, which the ragged output
+    # write masks.
+    nbB = pl.cdiv(mcE.shape[-2], BY)   # addressable row blocks
+
+    def _bidx(t):
+        return jnp.minimum(t + 1, nbB - 1)
 
     mspecA = pl.BlockSpec((1, BY, nxE), lambda c, t: (c, t, 0),
                           memory_space=pltpu.VMEM)
-    mspecB = pl.BlockSpec((1, BY, nxE), lambda c, t: (c, t + 1, 0),
+    mspecB = pl.BlockSpec((1, BY, nxE), lambda c, t: (c, _bidx(t), 0),
                           memory_space=pltpu.VMEM)
     tspecA = pl.BlockSpec((1, ntrace, BY, nxE), lambda c, t: (c, 0, t, 0),
                           memory_space=pltpu.VMEM)
     tspecB = pl.BlockSpec((1, ntrace, BY, nxE),
-                          lambda c, t: (c, 0, t + 1, 0),
+                          lambda c, t: (c, 0, _bidx(t), 0),
                           memory_space=pltpu.VMEM)
     gspec = pl.BlockSpec((rm.NGROUPS, BY, nxr), lambda c, t: (0, t, 0),
                          memory_space=pltpu.VMEM)
