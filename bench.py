@@ -25,23 +25,33 @@ REARTH = 6.37e6
 GX1_KMT = "/root/reference/input_templates/gx1/global_gx1.kmt"
 
 
+def _gx1_kmt():
+    if os.path.exists(GX1_KMT):
+        return np.fromfile(GX1_KMT, dtype=">i4").reshape(384, 320)
+    kmt = np.ones((384, 320), np.int32)   # fallback: polar land bands
+    kmt[:8] = 0
+    return kmt
+
+
 def synth_gx1_grid(cfg):
-    """Synthesize a 1-degree global mesh carrying the REAL gx1 land mask.
+    """Synthesize a global spherical mesh carrying a REAL land mask.
 
     The reference ships only the gx1 KMT file, not the grid metrics
     (ice_grid.F90 would read both). Metrics here are a uniform spherical
-    1-degree mesh (zonal cell width shrinking poleward, clamped at the
+    mesh (zonal cell width shrinking poleward, clamped at the
     pole rows) — the throughput-relevant properties (shape, land fraction,
     metric variability, tripole seam) match; the exact pole displacement
-    does not affect timing.
+    does not affect timing. For non-gx1 shapes (auscom_025/tx01 production
+    configs) the gx1 KMT is nearest-neighbor resampled, preserving the
+    land fraction.
     """
     from cice5_tpu.grid import popgrid_np
     ny, nx = cfg.grid.ny, cfg.grid.nx
-    if os.path.exists(GX1_KMT):
-        kmt = np.fromfile(GX1_KMT, dtype=">i4").reshape(ny, nx)
-    else:   # fallback: zonal land bands (poles + 30%-land midlatitudes)
-        kmt = np.ones((ny, nx), np.int32)
-        kmt[:8] = 0
+    kmt = _gx1_kmt()
+    if kmt.shape != (ny, nx):
+        jj = (np.arange(ny) * kmt.shape[0] // ny)
+        ii = (np.arange(nx) * kmt.shape[1] // nx)
+        kmt = kmt[jj][:, ii]
     lat = np.linspace(-79.0, 89.0, ny)
     dlat = lat[1] - lat[0]
     ulat = np.broadcast_to(lat[:, None], (ny, nx)).copy()
@@ -68,10 +78,10 @@ def _time_steps(m, state, n=10):
     return (time.perf_counter() - t0) / n
 
 
-def bench_parity():
+def bench_parity(**overrides):
     from cice5_tpu.config import gx1_parity_config
     from cice5_tpu.driver.model import Model
-    cfg = gx1_parity_config()
+    cfg = gx1_parity_config(**overrides)
     grid = synth_gx1_grid(cfg)
     m = Model(cfg, grid=grid)
     state = m.init_state()               # reference 70N/60S edge init
@@ -86,8 +96,36 @@ def bench_easy():
     return _time_steps(m, state), 320 * 384
 
 
+def bench_big():
+    """Optional (--big): the 0.25-degree ACCESS-OM production size
+    (1440x1080, bld/config.nci.auscom.1440x1080) at gx1 physics parity on
+    one chip — demonstrates production-grid capability and that the
+    cell rate scales with grid size (HBM-bound step)."""
+    from cice5_tpu.config import auscom_025_config
+    from cice5_tpu.driver.model import Model
+    cfg = auscom_025_config()
+    grid = synth_gx1_grid(cfg)
+    m = Model(cfg, grid=grid)
+    state = m.init_state()
+    return _time_steps(m, state, n=5), cfg.grid.nx * cfg.grid.ny
+
+
 def main():
+    import sys
+    if "--big" in sys.argv:
+        dt_big, cells_big = bench_big()
+        print(json.dumps({
+            "metric": "auscom025_parity_cell_steps_per_sec_per_chip",
+            "value": round(cells_big / dt_big, 1),
+            "unit": "cell*steps/s",
+            "step_ms": round(dt_big * 1e3, 2),
+            "note": ("0.25-deg ACCESS-OM production size 1440x1080, gx1 "
+                     "physics parity, one chip; reference runs this "
+                     "coupled at 192-722 MPI tasks"),
+        }))
+        return
     dt_parity, cells = bench_parity()
+    dt_7lyr, _ = bench_parity(nilyr=7)
     dt_easy, _ = bench_easy()
     rate = cells / dt_parity
     rate_easy = cells / dt_easy
@@ -99,9 +137,11 @@ def main():
         "vs_baseline": round(rate / baseline, 3),
         "note": ("full gx1 physics (mushy+dEdd+iage/FY/lvl/pond_lvl, "
                  "ndte=120, remap, slab ocean, real gx1 land mask, tripole "
-                 "seam); baseline = whole 320-task Hopper job aggregate "
-                 "rate, 1 chip vs 320 tasks"),
+                 "seam) at the reference's compile default NICELYR=4 "
+                 "(bld/build.sh:52); baseline = whole 320-task Hopper job "
+                 "aggregate rate, 1 chip vs 320 tasks"),
         "step_ms": round(dt_parity * 1e3, 2),
+        "nilyr7_step_ms": round(dt_7lyr * 1e3, 2),
         "easy_config_value": round(rate_easy, 1),
         "easy_config_step_ms": round(dt_easy * 1e3, 2),
         # multi-chip EVP communication: per-subcycle halo (ndte exchanges)

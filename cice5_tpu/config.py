@@ -45,9 +45,9 @@ class GridConfig:
     # the skipped land compute (gx1 parity 35.6 -> 77.9 ms/step; gathers
     # along the lane axis are the expensive op — dense masked compute
     # wins, SURVEY.md §2.10.6), and on CPU it is ~2% slower (dynamics,
-    # which stays dense, dominates there). "auto" therefore = "off";
-    # "on" forces packing (kept as an exercised, equivalence-tested
-    # path: tests/test_column_packing.py).
+    # which stays dense, dominates there). "auto" therefore = "off" on
+    # every backend; "on" forces packing (kept as an exercised,
+    # equivalence-tested path: tests/test_column_packing.py).
     compact_columns: str = "auto"    # auto | on | off
 
 
@@ -130,6 +130,14 @@ class ShortwaveConfig:
     kalg: float = 0.6
     # constant albedos (albedo_type=constant)
     albedo_const: float = 0.78
+    # orbital-parameter source (ice_orbital.F90:46 init_orbit default year;
+    # csm_share/shr_orb_mod.F90 shr_orb_params): Berger-1978 series year,
+    # or iyear_orb=None + explicit (eccen, obliq deg, mvelp deg) — the
+    # SHR_ORB_UNDEF_INT branch. Evaluated host-side once at Model init.
+    iyear_orb: int | None = 1950
+    orb_eccen: float | None = None
+    orb_obliq: float | None = None
+    orb_mvelp: float | None = None
     # dEdd execution kernel: "auto" uses the fused Pallas column kernel
     # (ops/pallas/dedd_fused.py) on TPU backends and the XLA path
     # elsewhere; "xla"/"pallas" force one. Same physics code either way
@@ -303,8 +311,14 @@ def gx1_parity_config(**overrides) -> ModelConfig:
     The reference does not ship the gx1 grid file (only the KMT land mask),
     so the grid is synthesized by bench.py (synth_gx1_grid: 1-degree
     global mesh + the real global_gx1.kmt land mask, tripole ns seam) and
-    passed to Model(cfg, grid=...)."""
+    passed to Model(cfg, grid=...).
+
+    Vertical resolution matches the reference's compile-time default
+    (bld/build.sh:52-53: NICELYR=4, NSNWLYR=1 — layer counts are CPP
+    macros, not namelist entries; none of the shipped bld/config.nci.*
+    override them). Pass nilyr=7 for the CICE-5 7-layer mushy column."""
     cfg = ModelConfig(
+        nilyr=4,
         grid=GridConfig(nx=320, ny=384, grid_type="tripole",
                         ew_boundary="cyclic", ns_boundary="tripole"),
         thermo=ThermoConfig(ktherm=2),
@@ -334,4 +348,31 @@ def tp1_config(grid_dir: str | None = None, **overrides) -> ModelConfig:
                         grid_format="nc",
                         grid_file=f"{d}/global_tp1.grid.nc",
                         kmt_file=f"{d}/global_tp1.kmt.nc"),
+        **overrides)
+
+
+def auscom_025_config(**overrides) -> ModelConfig:
+    """ACCESS-OM 0.25-degree production config: 1440x1080 tripole, gx1
+    physics parity (bld/config.nci.auscom.1440x1080; the coupled-model
+    run-length configs of BASELINE.md). The reference runs this at 192-722
+    MPI tasks; here the same step runs on one chip, or sharded by
+    ShardedModel. Grid synthesized (bench.synth_spherical_grid) — the grid
+    file lives in the coupled model's input bundle, not this repo."""
+    cfg = gx1_parity_config()
+    return cfg.replace(
+        grid=GridConfig(nx=1440, ny=1080, grid_type="tripole",
+                        ew_boundary="cyclic", ns_boundary="tripole"),
+        **overrides)
+
+
+def tx01_config(**overrides) -> ModelConfig:
+    """tx0.1 0.1-degree production config: 3600x2700 tripole, gx1 physics
+    parity (bld/config.nci.auscom.3600x2700; CMHB-2014 Table 4 scaling
+    runs used 3600x2400 with dt such that 10 days = 240 steps). The state
+    alone is ~9 GB in f32 at this size — meant for ShardedModel over a
+    multi-chip mesh, not a single chip."""
+    cfg = gx1_parity_config()
+    return cfg.replace(
+        grid=GridConfig(nx=3600, ny=2700, grid_type="tripole",
+                        ew_boundary="cyclic", ns_boundary="tripole"),
         **overrides)

@@ -145,9 +145,30 @@ class CoupledModel:
             "melt": sf.fresh, "form": sf.fsalt,
         }
 
-    def run(self, state, nsteps: int, start_step: int = 0):
+    def boundary_checksums(self, time_sec: float, outbound: Mapping[str,
+                           object] | None = None) -> dict:
+        """Coupling-debug checksums (cpl_interface.F90:753
+        write_boundary_checksums): plain interior-domain sums of every
+        inbound forcing field and (optionally) the outbound exchange,
+        returned as a dict and printable for log-to-log comparison
+        against a peer model's ledger."""
+        sums = {"time": float(time_sec)}
+        f = self._forcing
+        for k in ATM_FIELDS + OCN_FIELDS:
+            v = getattr(f, k, None)
+            if v is not None and getattr(v, "ndim", 0) == 2:
+                sums[k] = float(jnp.sum(v))
+        if outbound is not None:
+            for k, v in outbound.items():
+                sums["out_" + k] = float(jnp.sum(jnp.asarray(v)))
+        return sums
+
+    def run(self, state, nsteps: int, start_step: int = 0,
+            chksum_every: int = 0):
         """Coupled time loop: exchange on coupling boundaries, step the ice
-        in between (CICE_RunMod.F90:121-240)."""
+        in between (CICE_RunMod.F90:121-240). chksum_every > 0 prints
+        boundary checksums on that cadence (the reference's DEBUG ledger,
+        cpl_interface.F90:753)."""
         dt = self.model.cfg.time.dt
         diag = None
         for k in range(nsteps):
@@ -158,7 +179,11 @@ class CoupledModel:
             if self.get_ocn is not None and istep % self.num_cpl_io == 0:
                 self.from_ocn(self.get_ocn(t))
             state, diag = self.model.step(state, self._forcing)
+            out = None
             if (self.put_ocn is not None
                     and (istep + 1) % self.num_cpl_io == 0):
-                self.put_ocn(t + dt, self.into_ocn(state, diag))
+                out = self.into_ocn(state, diag)
+                self.put_ocn(t + dt, out)
+            if chksum_every and (istep + 1) % chksum_every == 0:
+                print("[ice chksum]", self.boundary_checksums(t + dt, out))
         return state, diag

@@ -131,24 +131,28 @@ class Model:
         # of the reference's icells/indxi/indxj compressed lists,
         # ice_therm_vertical.F90:186-200). Single-device only (sharded
         # runs would need equal packed sizes per shard; ShardedModel
-        # stays dense), and — measured — a LOSS on TPU, where the
-        # per-cell gather/scatter outweighs the skipped land compute
-        # (see GridConfig.compact_columns); "auto" packs only on CPU.
+        # stays dense), and — measured — a LOSS everywhere (see
+        # GridConfig.compact_columns), so "auto" == "off"; "on" forces
+        # packing and is kept equivalence-tested by
+        # tests/test_column_packing.py so the path stays exercised.
         self.packing = None
-        want_pack = (cfg.grid.compact_columns == "on"
-                     or (cfg.grid.compact_columns == "auto"
-                         and jax.default_backend() == "cpu"))
-        if want_pack:
+        if cfg.grid.compact_columns == "on":
             from cice5_tpu.driver.step import pack_columns
             self.packing = pack_columns(self.grid.tmask)
         self._jstep = jax.jit(partial(
             step_fn, cfg=cfg, tr=self.tr, topo=self.topo,
             hin_max=self.hin_max, salinz=self.salinz,
             packing=self.packing))
+        # orbital parameters for the run's epoch (ice_orbital.F90 init_orbit;
+        # Berger-1978 series evaluated once host-side, trace-time constants)
+        from cice5_tpu.models.radiation.orbital import shr_orb_params
+        sw = cfg.shortwave
+        self.orb = shr_orb_params(sw.iyear_orb, eccen=sw.orb_eccen,
+                                  obliq=sw.orb_obliq, mvelp=sw.orb_mvelp)
         self._jforcing = jax.jit(partial(
             idealized_polar_forcing, self.grid.shape,
             dtype=cfg.xp_dtype, tlat=self.grid.TLAT,
-            tlon=self.grid.TLON))
+            tlon=self.grid.TLON, orb=self.orb))
 
     def init_state(self, **kw) -> State:
         return init_state(self.cfg, self.grid, self.tr, self.hin_max,

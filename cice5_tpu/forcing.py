@@ -91,7 +91,7 @@ def idealized_polar_forcing(shape, yday: float, *, Tair_mean=-15.0,
                             Tair_amp=18.0, wind_speed=5.0, cldf=0.8,
                             sss_val=34.0, hmix_val=20.0,
                             dtype=jnp.float32, tlat=None,
-                            tlon=None) -> Forcing:
+                            tlon=None, orb=None) -> Forcing:
     """Analytic seasonal polar forcing (the 'oned'/col-config analog):
     seasonal air temperature, daylight-dependent SW, P&W longwave."""
     # fully traceable in yday so Model can jit the forcing construction
@@ -102,7 +102,7 @@ def idealized_polar_forcing(shape, yday: float, *, Tair_mean=-15.0,
     day = jnp.floor(yd)
     sec = (yd - day) * 86400.0
     if tlat is not None:
-        coszen = compute_coszen(tlat, tlon, day, sec).astype(dtype)
+        coszen = compute_coszen(tlat, tlon, day, sec, orb).astype(dtype)
     else:
         coszen = f(0.3)
     # season: coldest at yday ~ 15

@@ -149,7 +149,7 @@ class MonthlyForcing:
 def build_forcing(raw, yday, grid, *, dtype=jnp.float32, defaults=None,
                   atm_data_type="ncar", precip_units="mks",
                   days_per_year=365, Tsfc=None, sst=None,
-                  aice=None) -> Forcing:
+                  aice=None, orb=None) -> Forcing:
     """Assemble a full Forcing pytree from raw interpolated dataset fields
     (the get_forcing_atmo/get_forcing_ocn tail, ice_forcing.F90:462-620)."""
     defaults = defaults or {}
@@ -180,7 +180,7 @@ def build_forcing(raw, yday, grid, *, dtype=jnp.float32, defaults=None,
     from cice5_tpu.models.radiation.dedd import compute_coszen
     sec = (yday - int(yday)) * 86400.0
     coszen = compute_coszen(grid.TLAT, grid.TLON, float(int(yday)),
-                            sec).astype(dtype)
+                            sec, orb).astype(dtype)
     return Forcing(
         uatm=atm["uatm"], vatm=atm["vatm"], wind=atm["wind"],
         zlvl=atm["zlvl"], potT=atm["potT"], Tair=atm["Tair"],

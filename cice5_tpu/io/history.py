@@ -414,6 +414,47 @@ class HistoryStream:
         self.nsamples = 0
 
 
+def write_coord_grid_vars(f, grid):
+    """Coordinate + static grid variables shared by the gather writer
+    (write_netcdf) and the tile assembler (io.shard_io.assemble_history);
+    keyed off the dimensions already created on ``f``.
+
+    NCAT/VGRDi/VGRDs axis variables, T-cell corner bounds from the U
+    points (gridbox_corners, ice_grid.F90:1972-2092; corner order NE, NW,
+    SW, SE), and the f_tmask/f_tarea/f_uarea/f_dxt.../f_HTN/f_ANGLE grid
+    block (ice_history_shared.F90:186-210 + io_netcdf writer)."""
+    if "nc" in f.dimensions:
+        ncv = f.createVariable("NCAT", "f", ("nc",))
+        ncv.long_name = "category maximum thickness index"
+        ncv[:] = np.arange(1, f.dimensions["nc"] + 1, dtype=np.float32)
+    for dim, nm in (("nkice", "VGRDi"), ("nksnow", "VGRDs")):
+        if dim in f.dimensions:
+            vv = f.createVariable(nm, "f", (dim,))
+            vv.long_name = "vertical level midpoints (fraction)"
+            nk = f.dimensions[dim]
+            vv[:] = ((np.arange(nk) + 0.5) / nk).astype(np.float32)
+    f.createDimension("nvertices", 4)
+    ulat = np.rad2deg(np.asarray(grid.ULAT))
+    ulon = np.rad2deg(np.asarray(grid.ULON))
+    for nm, u in (("latt_bounds", ulat), ("lont_bounds", ulon)):
+        w = np.roll(u, 1, axis=1)                   # i-1 (cyclic ew)
+        south = lambda a: np.concatenate(
+            [2 * a[:1] - a[1:2], a[:-1]], axis=0)   # j-1, extrapolated
+        corners = np.stack([u, w, south(w), south(u)])
+        v = f.createVariable(nm, "f", ("nvertices", "nj", "ni"))
+        v[:] = corners.astype(np.float32)
+    for name, arr in (("TLAT", grid.TLAT), ("TLON", grid.TLON),
+                      ("ULAT", grid.ULAT), ("ULON", grid.ULON),
+                      ("tarea", grid.tarea), ("uarea", grid.uarea),
+                      ("tmask", grid.hm), ("umask", grid.uvm),
+                      ("dxt", grid.dxt), ("dyt", grid.dyt),
+                      ("dxu", grid.dxu), ("dyu", grid.dyu),
+                      ("HTN", grid.HTN), ("HTE", grid.HTE),
+                      ("ANGLE", grid.ANGLE), ("ANGLET", grid.ANGLET)):
+        v = f.createVariable(name, "f", ("nj", "ni"))
+        v[:] = np.asarray(arr, np.float32)
+
+
 def write_netcdf(stream: HistoryStream, grid, info, path: str,
                  case_name: str = "cice5_tpu"):
     """Gather-and-write one history file as classic netCDF-3 via scipy
@@ -443,42 +484,7 @@ def write_netcdf(stream: HistoryStream, grid, info, path: str,
         tv = f.createVariable("time", "d", ("time",))
         tv.units = "days since 0001-01-01 00:00:00"
         tv[0] = info.time / 86400.0
-        # category / vertical coordinate variables (NCAT, VGRDi, VGRDs)
-        if "nc" in f.dimensions:
-            ncv = f.createVariable("NCAT", "f", ("nc",))
-            ncv.long_name = "category maximum thickness index"
-            ncv[:] = np.arange(1, f.dimensions["nc"] + 1, dtype=np.float32)
-        for dim, nm in (("nkice", "VGRDi"), ("nksnow", "VGRDs")):
-            if dim in f.dimensions:
-                vv = f.createVariable(nm, "f", (dim,))
-                vv.long_name = "vertical level midpoints (fraction)"
-                nk = f.dimensions[dim]
-                vv[:] = ((np.arange(nk) + 0.5) / nk).astype(np.float32)
-        # T-cell corner bounds from the U points (gridbox_corners,
-        # ice_grid.F90:1972-2092): corner order NE, NW, SW, SE
-        f.createDimension("nvertices", 4)
-        ulat = np.rad2deg(np.asarray(grid.ULAT))
-        ulon = np.rad2deg(np.asarray(grid.ULON))
-        for nm, u in (("latt_bounds", ulat), ("lont_bounds", ulon)):
-            w = np.roll(u, 1, axis=1)                   # i-1 (cyclic ew)
-            south = lambda a: np.concatenate(
-                [2 * a[:1] - a[1:2], a[:-1]], axis=0)   # j-1, extrapolated
-            corners = np.stack([u, w, south(w), south(u)])
-            v = f.createVariable(nm, "f", ("nvertices", "nj", "ni"))
-            v[:] = corners.astype(np.float32)
-        # static grid variables written to every file (the f_tmask/f_tarea/
-        # f_uarea/f_dxt.../f_HTN/f_ANGLE grid-variable flags,
-        # ice_history_shared.F90:186-210 + io_netcdf writer grid block)
-        for name, arr in (("TLAT", grid.TLAT), ("TLON", grid.TLON),
-                          ("ULAT", grid.ULAT), ("ULON", grid.ULON),
-                          ("tarea", grid.tarea), ("uarea", grid.uarea),
-                          ("tmask", grid.hm), ("umask", grid.uvm),
-                          ("dxt", grid.dxt), ("dyt", grid.dyt),
-                          ("dxu", grid.dxu), ("dyu", grid.dyu),
-                          ("HTN", grid.HTN), ("HTE", grid.HTE),
-                          ("ANGLE", grid.ANGLE), ("ANGLET", grid.ANGLET)):
-            v = f.createVariable(name, "f", ("nj", "ni"))
-            v[:] = np.asarray(arr, np.float32)
+        write_coord_grid_vars(f, grid)
         dimmap = {"2D": ("time", "nj", "ni"),
                   "3Dc": ("time", "nc", "nj", "ni"),
                   "4Di": ("time", "nkice", "nc", "nj", "ni"),

@@ -170,10 +170,8 @@ def assemble_history(dirpath: str, grid, out_path: str,
         tv = f.createVariable("time", "d", ("time",))
         tv.units = "days since 0001-01-01 00:00:00"
         tv[0] = meta["time"] / 86400.0
-        for name, arr in (("TLAT", grid.TLAT), ("TLON", grid.TLON),
-                          ("tarea", grid.tarea), ("tmask", grid.hm)):
-            v = f.createVariable(name, "f", ("nj", "ni"))
-            v[:] = np.asarray(arr, np.float32)
+        from cice5_tpu.io.history import write_coord_grid_vars
+        write_coord_grid_vars(f, grid)
         dimmap = {"2D": ("time", "nj", "ni"),
                   "3Dc": ("time", "nc", "nj", "ni"),
                   "4Di": ("time", "nkice", "nc", "nj", "ni"),

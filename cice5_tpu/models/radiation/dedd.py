@@ -129,9 +129,11 @@ def _tune(kmn, wmn, Rtune, fp, fm):
     return k, sigp / k
 
 
-# present-epoch (1990) orbital parameters — what shr_orb_params computes
-# from the Berger-1978 secular series at iyear_AD=1990
-# (csm_share/shr_orb_mod.F90; values are the CESM standard set)
+# present-epoch default orbital parameters — a shr_orb_params evaluation
+# at the present epoch (csm_share/shr_orb_mod.F90; CESM standard set).
+# For a specific model year, evaluate the Berger-1978 secular series with
+# radiation/orbital.py shr_orb_params (ShortwaveConfig.iyear_orb wires it)
+# and pass the result to shr_orb_decl/compute_coszen.
 ORB_ECCEN = 0.016715      # eccentricity
 ORB_OBLIQR = 0.409215     # obliquity (radians)
 ORB_LAMBM0 = -0.032437    # mean longitude of perihelion at v.e. (rad)
@@ -158,15 +160,20 @@ def shr_orb_decl(calday, eccen=ORB_ECCEN, obliqr=ORB_OBLIQR,
     return declin, invrho ** 2
 
 
-def solar_declination(yday):
-    """Solar declination (radians) from the elliptical-orbit solution."""
-    return shr_orb_decl(yday)[0]
+def solar_declination(yday, orb=None):
+    """Solar declination (radians) from the elliptical-orbit solution.
+    orb: optional OrbitalParams (radiation/orbital.py shr_orb_params) for
+    a specific year; None uses the present-epoch module constants."""
+    if orb is None:
+        return shr_orb_decl(yday)[0]
+    return shr_orb_decl(yday, eccen=orb.eccen, obliqr=orb.obliqr,
+                        lambm0=orb.lambm0, mvelpp=orb.mvelpp)[0]
 
 
-def compute_coszen(tlat, tlon, yday, sec):
+def compute_coszen(tlat, tlon, yday, sec, orb=None):
     """Cosine solar zenith angle (ice_orbital.F90:63-143 compute_coszen,
     declination from shr_orb_decl)."""
-    delta = solar_declination(yday)
+    delta = solar_declination(yday, orb)
     hour_angle = (sec / ct.secday - 0.5) * 2.0 * ct.pi + tlon
     return (jnp.sin(tlat) * jnp.sin(delta)
             + jnp.cos(tlat) * jnp.cos(delta) * jnp.cos(hour_angle))

@@ -735,12 +735,17 @@ def temperature_changes_salinity(dt, *, nilyr, nslyr, mask,
                   hslyr=jnp.maximum(hslyr, ct.puny))
 
     # two-stage: solve with the initial surface condition, re-solve flipped
-    # cells (two_stage_solver_{snow,nosnow}, :601-1320)
+    # cells (two_stage_solver_{snow,nosnow}, :601-1320). The reference
+    # re-solves ONLY the inconsistent cells; here stage 2 starts with every
+    # consistent cell already marked converged, so its while_loop iterates
+    # exactly as long as the slowest FLIPPED cell needs — and when nothing
+    # flipped (the common case) the body never executes at all.
     lcold1 = Tsf < 0.0
     s1 = picard_solver(dt, lcold=lcold1, Tsf=Tsf, **common)
     ok1 = jnp.where(lcold1, s1.Tsf < DTEMP_ERRMAX,
                     s1.fcondtop - s1.fsurfn < thsh.ferrmax)
-    s2 = picard_solver(dt, lcold=~lcold1, Tsf=Tsf, **common)
+    common2 = dict(common, mask=common["mask"] & ~ok1)
+    s2 = picard_solver(dt, lcold=~lcold1, Tsf=Tsf, **common2)
 
     pick = lambda a, b: jnp.where(ok1, a, b)
     pickk = lambda a, b: jnp.where(ok1[None], a, b)

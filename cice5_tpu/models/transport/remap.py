@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from cice5_tpu import constants as ct
 from cice5_tpu.constants import FieldLoc, FieldType
-from cice5_tpu.parallel import Topology, extend, shifted
+from cice5_tpu.parallel import Topology, extend, extend_wide, shifted
 from cice5_tpu.state import TracerRegistry, DEP_AICE, DEP_VICE, DEP_VSNO, DEP_TRCR
 
 NGROUPS = 6
@@ -55,6 +55,17 @@ def limited_gradient(phi, phimask, cnx, cny, topo: Topology):
     """
     pE = extend(phi, topo)
     mE = extend(phimask, topo)
+    return _limited_gradient_core(phi, pE, mE, phimask, cnx, cny)
+
+
+def _limited_gradient_core(phi, pE, mE, phimask, cnx, cny):
+    """limited_gradient body on pre-extended inputs (one ghost ring).
+
+    phi/phimask: the center (interior) field and mask; pE/mE: the same
+    extended by one ring (by `extend`, or a VMEM window slice inside the
+    Pallas remap kernel). ROW-LOCAL (3-point stencil) — see the
+    `_integrals` docstring for why that must stay true.
+    """
 
     def nbr(di, dj):
         j0, j1 = 1 + dj, pE.shape[-2] - 1 + dj
@@ -423,6 +434,14 @@ def _integrals(donor, triarea, qx, qy, views_mc, views_mx, views_my,
     """Quadratic transport integrals over all triangles
     (transport_integrals :3199-3512, integral_order=2).
 
+    MUST REMAIN ROW-LOCAL: the Pallas row-tile kernel
+    (ops/pallas/remap_flux.py) feeds this math extended-field rows beyond
+    nyE that are undefined (its ragged last block clamps the window tile;
+    garbage rows are only masked at the output write). Any future
+    reduction ACROSS the row axis here would read that garbage — and the
+    interpret-mode tests zero-fill ragged blocks, so it would pass tests
+    and break only on real TPU hardware.
+
     TPU re-structuring: the reference's per-triangle-group tracer sums would
     materialize (NGROUPS, ntrace) donor-selected stacks (tens of MB of HBM
     traffic per category). Because every tracer flux is linear in its
@@ -671,6 +690,91 @@ def _reconstruct(grid, topo: Topology, *, mm, tm, tracer_type, parent):
     return mc, mx, my, tc_all, tx_all, ty_all
 
 
+def _reconstruct_ext(mmE, tmE, hmE, tracer_type, parent):
+    """`_reconstruct` evaluated from one-ring-extended RAW fields — the
+    Pallas remap kernel's in-VMEM reconstruction (construct_fields
+    :1024-1316 on a row window).
+
+    mmE: (nyE, nxE); tmE: (ntrace, nyE, nxE); hmE: (nyE, nxE) — the raw
+    mass field, packed tracers and grid mask with a 1-cell ghost ring
+    (slices of a W=2 `extend_wide` window). Returns (mc, mx, my, tc, tx,
+    ty) on the interior (nyE-2, nxE-2). Recomputing the reconstruction
+    per window (instead of materializing + re-extending tc/tx/ty stacks
+    in HBM) is the point: the gradients are VPU work on data already in
+    VMEM. ROW-LOCAL (3-point stencils): rows beyond the valid flux region
+    are undefined in the ragged last tile and only feed masked outputs.
+
+    Ghost-cell reconstructions recomputed from folded/cyclic raw values
+    equal the `extend`-ed reconstructions of the XLA path: under the
+    tripole fold gx/gy/mxav all flip sign, so tc is fold-invariant and
+    tx/ty pick up exactly the VECTOR parity `extend` applies. (On
+    tripoleT the degenerate top row differs at the ulp level:
+    symmetrize-then-reconstruct here vs reconstruct-then-symmetrize
+    there — both self-consistent discretizations of the fold row.)
+    """
+    inner = lambda F: F[..., 1:-1, 1:-1]
+    mm = inner(mmE)
+    mE = (mmE > 0.0).astype(mmE.dtype)
+    mmask = inner(mE)
+    mx, my = _limited_gradient_core(mm, mmE, hmE, inner(hmE), 0.0, 0.0)
+    mc = mm
+    denom = jnp.where(mm > 0.0, mm, 1.0)
+    mxav = jnp.where(mm > 0.0, mx * XXAV / denom, 0.0)
+    myav = jnp.where(mm > 0.0, my * YYAV / denom, 0.0)
+
+    ntrace = tmE.shape[0]
+    tm = inner(tmE)
+    tcs = [None] * ntrace
+    txs = [None] * ntrace
+    tys = [None] * ntrace
+    mtx = [None] * ntrace
+    mty = [None] * ntrace
+
+    idx1 = [nt for nt in range(ntrace) if tracer_type[nt] == 1]
+    if idx1:
+        sel = _sel_static(idx1)
+        tx_b, ty_b = _limited_gradient_core(tm[sel], tmE[sel], mE, mmask,
+                                            mxav, myav)
+        tc_b = tm[sel] - tx_b * mxav - ty_b * myav
+        w2 = mc * tx_b + mx * tc_b
+        w3 = mc * ty_b + my * tc_b
+        mt = mm * tm[sel]
+        d2 = jnp.where(jnp.abs(mt) > 0.0, mt, 1.0)
+        ok = jnp.abs(mt) > ct.puny
+        mtx_b = jnp.where(ok, (w2 * XXAV) / d2, 0.0)
+        mty_b = jnp.where(ok, (w3 * YYAV) / d2, 0.0)
+        for k, nt in enumerate(idx1):
+            tcs[nt], txs[nt], tys[nt] = tc_b[k], tx_b[k], ty_b[k]
+            mtx[nt], mty[nt] = mtx_b[k], mty_b[k]
+
+    by_parent: dict = {}
+    for nt in range(ntrace):
+        if tracer_type[nt] == 2:
+            by_parent.setdefault(parent[nt], []).append(nt)
+    for p, idxs in by_parent.items():
+        sel = _sel_static(idxs)
+        tmask_pE = (jnp.abs(tmE[p]) > 0.0).astype(mmE.dtype) * mE
+        tx_b, ty_b = _limited_gradient_core(
+            tm[sel], tmE[sel], tmask_pE, inner(tmask_pE), mtx[p], mty[p])
+        tc_b = tm[sel] - tx_b * mtx[p] - ty_b * mty[p]
+        for k, nt in enumerate(idxs):
+            tcs[nt], txs[nt], tys[nt] = tc_b[k], tx_b[k], ty_b[k]
+
+    for nt in range(ntrace):
+        if tracer_type[nt] == 3:
+            tcs[nt] = tm[nt]
+            txs[nt] = jnp.zeros_like(mm)
+            tys[nt] = jnp.zeros_like(mm)
+    return (mc, mx, my, jnp.stack(tcs), jnp.stack(txs), jnp.stack(tys))
+
+
+def _sel_static(idxs):
+    """Basic slice when contiguous (no gather), else fancy index."""
+    if idxs == list(range(idxs[0], idxs[-1] + 1)):
+        return slice(idxs[0], idxs[-1] + 1)
+    return jnp.asarray(idxs)
+
+
 def _update(grid, *, mm, tm, fe_mflx, fe_mtflx, fn_mflx, fn_mtflx,
             tracer_type, parent):
     """Divergence update of mass + tracers (update_fields :3517-3730).
@@ -759,31 +863,24 @@ def remap_fields_batch(grid, topo: Topology, geom: RemapGeometry, *, mm,
     path reads the 12-MB extended tracer stacks once per donor view per
     coefficient (18 shifted HBM passes per edge per category, the
     dominant cost of the remap at gx1 size); the kernel holds a row tile
-    of the stacks in VMEM and builds every view from it for free.
+    of the RAW fields in VMEM, rebuilds the limited reconstructions
+    in-register (`_reconstruct_ext`), and builds every donor view from
+    them for free — the tc/tx/ty stacks never touch HBM at all.
     """
-    from cice5_tpu.ops.pallas.remap_flux import integrals_tiled
+    from cice5_tpu.ops.pallas.remap_flux import integrals_tiled_both
     ny, nx = mm.shape[-2:]
-    rec = jax.vmap(lambda m, t: _reconstruct(
-        grid, topo, mm=m, tm=t, tracer_type=tracer_type,
-        parent=parent))(mm, tm)
-    mc, mx, my, tc_all, tx_all, ty_all = rec
-
-    mcE = extend(mc, topo)
-    mxE = extend(mx, topo, kind=FieldType.VECTOR)
-    myE = extend(my, topo, kind=FieldType.VECTOR)
-    tcE = extend(tc_all, topo)
-    txE = extend(tx_all, topo, kind=FieldType.VECTOR)
-    tyE = extend(ty_all, topo, kind=FieldType.VECTOR)
+    # one W=2 ghost ring of the raw fields: ring 1 holds the donor cells
+    # the edge views read, ring 2 their gradient neighborhoods
+    mmE2 = extend_wide(mm, topo, 2)
+    tmE2 = extend_wide(tm, topo, 2)
+    hmE2 = extend_wide(grid.hm, topo, 2)
 
     qxn, qyn = _triangle_midpoints(geom.north)
     qxe, qye = _triangle_midpoints(geom.east)
-    fn_mflx, fn_mtflx = integrals_tiled(
-        "north", geom.north.donor, geom.north.triarea, qxn, qyn,
-        mcE, mxE, myE, tcE, txE, tyE, tracer_type, parent, ny, nx,
-        interpret=interpret)
-    fe_mflx, fe_mtflx = integrals_tiled(
-        "east", geom.east.donor, geom.east.triarea, qxe, qye,
-        mcE, mxE, myE, tcE, txE, tyE, tracer_type, parent, ny, nx,
+    fn_mflx, fn_mtflx, fe_mflx, fe_mtflx = integrals_tiled_both(
+        (geom.north.donor, geom.north.triarea, qxn, qyn),
+        (geom.east.donor, geom.east.triarea, qxe, qye),
+        mmE2, tmE2, hmE2, tracer_type, parent, ny, nx,
         interpret=interpret)
 
     return jax.vmap(lambda m, t, fem, femt, fnm, fnmt: _update(

@@ -63,8 +63,9 @@ class TestPackedStepEquivalence:
             f = m.forcing_at(0)
             return (*m._jstep(st, f, m.grid), m)
 
-        s1, d1, _ = run("off")
-        s2, d2, m2 = run("auto")
+        s1, d1, m1 = run("auto")      # auto == off on every backend
+        assert m1.packing is None
+        s2, d2, m2 = run("on")
         assert m2.packing is not None
 
         def close(a, b, name):

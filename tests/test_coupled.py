@@ -99,3 +99,19 @@ class TestCoupledModel:
                             "fswthru", "aice"}
         assert np.isfinite(np.asarray(out["fhocn"])).all()
         assert float(jnp.max(jnp.asarray(out["aice"]))) > 0.5
+
+    def test_boundary_checksums(self):
+        """Checksum ledger (cpl_interface.F90:753 write_boundary_checksums):
+        one finite sum per inbound field + outbound exchange, stable
+        between identical exchanges."""
+        m = Model(rect_config(ny=8, nx=8))
+        st = m.init_state(ice_mask=np.asarray(m.grid.tmask))
+        cm = CoupledModel(model=m)
+        st2, diag = m.step(st, cm._forcing)
+        out = cm.into_ocn(st2, diag)
+        s1 = cm.boundary_checksums(3600.0, out)
+        s2 = cm.boundary_checksums(3600.0, out)
+        assert s1 == s2
+        assert s1["time"] == 3600.0
+        for k in ("Tair", "sst", "out_fhocn", "out_aice"):
+            assert k in s1 and np.isfinite(s1[k])

@@ -78,9 +78,9 @@ class TestGx3Grid:
         st = m.run(st, nsteps=48, diag_every=0)
         gd = diag_mod.compute_diags(st, m.grid, m.tr, m.cfg.nilyr,
                                     m.cfg.nslyr)
-        for k, v in gd.items():
+        for k, v in gd._asdict().items():
             assert np.isfinite(v), (k, v)
-        assert gd["arean"] > 0.0           # NH ice extent survived 2 days
+        assert gd.arean > 0.0              # NH ice extent survived 2 days
 
 
 @needs_ref

@@ -39,3 +39,32 @@ def test_remap_batch_matches_vmap():
     for name, a, b in zip(("mm", "tm"), ref, out):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-5, err_msg=name)
+
+
+def test_remap_batch_matches_vmap_tripole():
+    """Same equivalence across a tripole U-fold seam: the kernel
+    RECOMPUTES reconstructions at fold-ghost cells from the folded raw
+    fields, which must match the XLA path's folded (VECTOR-parity)
+    extension of locally-computed tc/tx/ty."""
+    cfg = rect_config(ny=16, nx=128)
+    grid = rectgrid(cfg)
+    topo = Topology(ew="cyclic", ns="tripole")
+    rng = np.random.default_rng(7)
+    ncat, ntrace, ny, nx = 2, 4, 16, 128
+    f = lambda *s: jnp.asarray(rng.uniform(0, 1, s), jnp.float32)
+    mm = f(ncat, ny, nx)
+    tm = f(ncat, ntrace, ny, nx)
+    tracer_type = (1, 1, 2, 3)
+    parent = (-1, -1, 0, 2)
+    uvel = 0.2 * (f(ny, nx) - 0.5)
+    vvel = 0.2 * (f(ny, nx) - 0.5)
+    geom = rm.remap_geometry(3600.0, grid, topo, uvel=uvel, vvel=vvel)
+    ref = jax.vmap(lambda m, t: rm.remap_fields(
+        grid, topo, geom, mm=m, tm=t, tracer_type=tracer_type,
+        parent=parent))(mm, tm)
+    out = rm.remap_fields_batch(grid, topo, geom, mm=mm, tm=tm,
+                                tracer_type=tracer_type, parent=parent,
+                                interpret=True)
+    for name, a, b in zip(("mm", "tm"), ref, out):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, err_msg=name)
