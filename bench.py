@@ -110,8 +110,45 @@ def bench_big():
     return _time_steps(m, state, n=5), cfg.grid.nx * cfg.grid.ny
 
 
+def bench_tenday():
+    """Optional (--tenday): the reference's actual headline benchmark —
+    a 10-model-day gx1 run (240 hourly steps, CMHB IJHPCA-2014 Tables
+    2-3) wall-to-wall on one chip at physics parity. The Hopper numbers:
+    211.9 s @16 tasks, 21.5 s @320 tasks, 10.5 s @1280 tasks."""
+    import jax
+    from cice5_tpu.config import gx1_parity_config
+    from cice5_tpu.driver.model import Model
+    cfg = gx1_parity_config()
+    grid = synth_gx1_grid(cfg)
+    m = Model(cfg, grid=grid)
+    state = m.init_state()
+    forcing = m.forcing_at(0)
+    step = lambda s: m._jstep(s, forcing, m.grid)[0]
+    s = step(state)                      # compile outside the window
+    jax.block_until_ready(s.vicen)
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(240):
+        s = step(s)
+    jax.block_until_ready(s.vicen)
+    return time.perf_counter() - t0
+
+
 def main():
     import sys
+    if "--tenday" in sys.argv:
+        wall = bench_tenday()
+        print(json.dumps({
+            "metric": "gx1_parity_10day_wall_seconds_per_chip",
+            "value": round(wall, 2),
+            "unit": "s",
+            "vs_baseline": round(21.5 / wall, 3),
+            "note": ("full 10-day gx1 benchmark (240 hourly steps, gx1 "
+                     "physics parity) on ONE chip; baseline 21.5 s = the "
+                     "whole 320-task Hopper job (CMHB Table 3; 16 tasks "
+                     "took 211.9 s, 1280 tasks 10.5 s)"),
+        }))
+        return
     if "--big" in sys.argv:
         dt_big, cells_big = bench_big()
         print(json.dumps({

@@ -108,17 +108,6 @@ class RidgeResult(NamedTuple):
     # normally 1-2 — perf diagnostic for the while-loop cost)
 
 
-def _chain_amount(tr: TracerRegistry, it, t_n, da, dv, dvs):
-    """Donor-side conserved amount for tracer slot it (chain walk)."""
-    amt = t_n[it]
-    q = it
-    while tr.depend[q] >= DEP_TRCR:
-        q = tr.depend[q] - DEP_TRCR
-        amt = amt * t_n[q]
-    base = {DEP_AICE: da, DEP_VICE: dv, DEP_VSNO: dvs}[tr.depend[q]]
-    return base * amt
-
-
 def _chain_root_and_parents(tr: TracerRegistry, it):
     parents = []
     q = it
@@ -132,10 +121,49 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
               vicen, vsnon, trcrn, aice0, rdg_conv, rdg_shear,
               krdg_partic=1, krdg_redist=1, mu_rdg=4.0,
               ndtd=1) -> RidgeResult:
-    """Full ridging driver (ice_mechred.F90:101-757 ridge_ice)."""
+    """Full ridging driver (ice_mechred.F90:101-757 ridge_ice).
+
+    The iteration works entirely in conserved-AMOUNT space: ``atrcrn =
+    tracer_weights * trcrn`` is built once before the loop, the body
+    transfers amounts (donor removal is uniformly ``afrac * atrcrn[n]``;
+    receiver gains are per-dependency-class scalar coefficients times
+    ``atrcrn[n]``), and ``compute_tracers`` inverts back to values once
+    after the loop — the reference's per-iteration values<->amounts
+    roundtrip (ice_mechred.F90:1399-1502 region) is a fixed point of the
+    amounts, so skipping it inside the loop changes nothing above the
+    sub-puny zap level. The first iteration is peeled out of the
+    ``while_loop`` (the scale-aware closure test converges in one trip
+    almost everywhere, so the loop body normally never executes and the
+    peeled trip fuses with the surrounding step)."""
     ncat = aicen.shape[0]
     B = aicen.shape[1:]
     dtype = aicen.dtype
+
+    # static per-slot receiver dependency-class masks: exactly one of
+    # (area, ice-volume, snow-volume) per slot, zero for tracers lost in
+    # ridging (level-ice and pond families, ice_mechred.F90 ridge_shift)
+    mA = [0.0] * tr.ntrcr
+    mV = [0.0] * tr.ntrcr
+    mS = [0.0] * tr.ntrcr
+    for it in range(tr.ntrcr):
+        root, parents = _chain_root_and_parents(tr, it)
+        if (tr.nt_alvl in parents or tr.nt_apnd in parents
+                or it == tr.nt_alvl or it == tr.nt_vlvl):
+            continue   # level-ice & pond tracers lost in ridging
+        if root == DEP_AICE:
+            # every non-excluded area-rooted slot is parentless (ponds,
+            # the only parented area chains, are excluded above), so the
+            # value-space reference amount farea*ardg2*t equals
+            # (farea*ardg2/a_init) * atrcrn
+            assert not parents
+            mA[it] = 1.0
+        elif root == DEP_VICE:
+            mV[it] = 1.0
+        else:
+            mS[it] = 1.0
+    maskA = jnp.asarray(mA, dtype)[:, None, None]
+    maskV = jnp.asarray(mV, dtype)[:, None, None]
+    maskS = jnp.asarray(mS, dtype)[:, None, None]
     # plain floats: numpy scalars would strongly promote f32 arrays under x64
     hmax = [float(h) for h in hin_max]
     hmax[ncat] = 1.0e8          # ridge_prep: all ridged ice thinner than top
@@ -154,7 +182,7 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
         aicen: jnp.ndarray
         vicen: jnp.ndarray
         vsnon: jnp.ndarray
-        trcrn: jnp.ndarray
+        atrcrn: jnp.ndarray      # conserved tracer AMOUNTS (weights*trcrn)
         aice0: jnp.ndarray
         closing_net: jnp.ndarray
         opning: jnp.ndarray
@@ -171,7 +199,7 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
 
     def body(c: Carry) -> Carry:
         active = ~c.done
-        aicen, vicen, vsnon, trcrn = c.aicen, c.vicen, c.vsnon, c.trcrn
+        aicen, vicen, vsnon, atrcrn = c.aicen, c.vicen, c.vsnon, c.atrcrn
         aice0 = c.aice0
 
         r = ridge_itd(aicen, vicen, aice0, krdg_partic=krdg_partic,
@@ -198,7 +226,6 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
             aice0 - r.apartic0 * closing_gross * dt + opn * dt, 0.0)
         aopen = c.aopen + opn * dt
 
-        atrcrn = tracer_weights(tr, aicen, vicen, vsnon, trcrn) * trcrn
         a_init, v_init, s_init = aicen, vicen, vsnon
 
         ardg1_d = c.ardg1
@@ -214,11 +241,12 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
         d_aicen = [None] * ncat
         d_vicen = [None] * ncat
         d_vsnon = [None] * ncat
-        d_atrcr = [[None] * tr.ntrcr for _ in range(ncat)]
+        d_atrcr = [None] * ncat     # (ntrcr, *B) amount deltas per category
 
         def acc(lst, i, val):
             lst[i] = val if lst[i] is None else lst[i] + val
 
+        qs0, qs1 = tr.nt_qsno, tr.nt_qsno + nslyr
         for n in range(ncat):
             ridging = ((a_init[n] > ct.puny) & (r.apartic[n] > 0.0)
                        & (closing_gross > 0.0))
@@ -238,15 +266,14 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
             ardg2_d = ardg2_d + ardg2n
             virdg_d = virdg_d + virdgn
             msnow = msnow + ct.rhos * vsrdgn * (1.0 - FSNOWRDG)
-            qsno_n = trcrn[n, tr.nt_qsno:tr.nt_qsno + nslyr]
-            esnow = esnow + jnp.sum(vsrdgn[None] * qsno_n / nslyr, axis=0) \
-                * (1.0 - FSNOWRDG)
+            # snow enthalpy amount leaving with the melted snow fraction:
+            # vsrdgn*qsno = afrac * (vsnon*qsno) = afrac * atrcrn[qsno]
+            esnow = esnow + (1.0 - FSNOWRDG) / nslyr * afrac \
+                * jnp.sum(atrcrn[n, qs0:qs1], axis=0)
 
-            # donor-side tracer removal
-            t_n = trcrn[n]
-            for it in range(tr.ntrcr):
-                datr = _chain_amount(tr, it, t_n, ardg1n, virdgn, vsrdgn)
-                acc(d_atrcr[n], it, -datr)
+            # donor-side removal: a fraction afrac of every conserved
+            # amount leaves the donor category, uniformly across slots
+            acc(d_atrcr, n, (-afrac)[None] * atrcrn[n])
 
             # receiver-side redistribution
             dhr = jnp.maximum(r.hrmax[n] - r.hrmin[n], ct.puny)
@@ -285,20 +312,15 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
                 acc(d_vicen, nr, fvol * virdgn)
                 acc(d_vsnon, nr, fvol * vsrdgn * FSNOWRDG)
 
-                for it in range(tr.ntrcr):
-                    root, parents = _chain_root_and_parents(tr, it)
-                    if (tr.nt_alvl in parents or tr.nt_apnd in parents
-                            or it == tr.nt_alvl or it == tr.nt_vlvl):
-                        continue   # level-ice & pond tracers lost in ridging
-                    if root == DEP_AICE:
-                        amt = farea * ardg2n * t_n[it]
-                    elif root == DEP_VICE:
-                        amt = fvol * virdgn * t_n[it]
-                        for p in parents:      # fbri chain
-                            amt = amt * t_n[p]
-                    else:
-                        amt = fvol * vsrdgn * FSNOWRDG * t_n[it]
-                    acc(d_atrcr[nr], it, amt)
+                # receiver amounts: per-dependency-class coefficients
+                # times the donor amounts (see masks above); cA equals
+                # the reference's farea*ardg2*t for parentless area slots
+                cA = farea * ardg2n / jnp.maximum(a_init[n], ct.puny)
+                cV = fvol * afrac
+                cS = fvol * afrac * FSNOWRDG
+                coeff = (maskA * cA[None] + maskV * cV[None]
+                         + maskS * cS[None])
+                acc(d_atrcr, nr, coeff * atrcrn[n])
 
         zB = jnp.zeros(B, dtype)
         aicen = aicen + jnp.stack([d if d is not None else zB
@@ -308,10 +330,8 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
         vsnon = vsnon + jnp.stack([d if d is not None else zB
                                    for d in d_vsnon])
         atrcrn = atrcrn + jnp.stack(
-            [jnp.stack([d if d is not None else zB for d in row])
-             for row in d_atrcr])
-
-        trcrn = compute_tracers(tr, atrcrn, aicen, vicen, vsnon)
+            [d if d is not None else jnp.zeros((tr.ntrcr,) + B, dtype)
+             for d in d_atrcr])
 
         # convergence check (ridge_check, ice_mechred.F90:2040-2093)
         asum2 = aice0 + jnp.sum(aicen, axis=0)
@@ -328,24 +348,29 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
 
         return Carry(
             niter=c.niter + 1, aicen=aicen, vicen=vicen, vsnon=vsnon,
-            trcrn=trcrn, aice0=aice0, closing_net=closing_new,
+            atrcrn=atrcrn, aice0=aice0, closing_net=closing_new,
             opning=opning_new, done=c.done | ok,
             ardg1=ardg1_d, ardg2=ardg2_d, virdg=virdg_d, aopen=aopen,
             msnow_mlt=msnow, esnow_mlt=esnow)
 
+    atrcrn0 = tracer_weights(tr, aicen, vicen, vsnon, trcrn) * trcrn
     init = Carry(niter=jnp.zeros((), jnp.int32), aicen=aicen, vicen=vicen,
-                 vsnon=vsnon, trcrn=trcrn, aice0=aice0,
+                 vsnon=vsnon, atrcrn=atrcrn0, aice0=aice0,
                  closing_net=closing_net, opning=opning,
                  done=jnp.zeros(B, bool),
                  ardg1=z, ardg2=z, virdg=z, aopen=z, msnow_mlt=z,
                  esnow_mlt=z)
-    f = jax.lax.while_loop(cond, body, init)
+    # peel the first trip: it always runs, fuses with the surrounding
+    # step, and leaves the while_loop a no-op wherever closure converges
+    # in one iteration (the common case under the scale-aware tolerance)
+    f = jax.lax.while_loop(cond, body, body(init))
 
+    trcrn_f = compute_tracers(tr, f.atrcrn, f.aicen, f.vicen, f.vsnon)
     dti = 1.0 / dt
     dti_th = 1.0 / (ndtd * dt)
     asum_f = f.aice0 + jnp.sum(f.aicen, axis=0)
     return RidgeResult(
-        aicen=f.aicen, vicen=f.vicen, vsnon=f.vsnon, trcrn=f.trcrn,
+        aicen=f.aicen, vicen=f.vicen, vsnon=f.vsnon, trcrn=trcrn_f,
         aice0=f.aice0,
         dardg1dt=f.ardg1 * dti, dardg2dt=f.ardg2 * dti,
         dvirdgdt=f.virdg * dti, opening=f.aopen * dti,

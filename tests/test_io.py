@@ -365,3 +365,48 @@ class TestExtendedCatalog:
             assert np.isfinite(fct).all()
             fsurf = np.asarray(fh.variables["fsurf_ai"][0])
             assert np.isfinite(fsurf[tmask]).all()
+
+
+class TestRestartV4:
+    """CICE 4.1 binary restart converter (restartfile_v4,
+    ice_restart_driver.F90:517-875)."""
+
+    def test_v4_roundtrip(self, tmp_path):
+        m = small_model()
+        s = m.init_state(ice_mask=np.asarray(m.grid.tmask))
+        for k in range(2):
+            s, _ = m.step(s, m.forcing_at(k))
+        cfg, tr = m.cfg, m.tr
+        p = str(tmp_path / "iced.v4")
+        sw = {"swvdr": np.full((cfg.grid.ny, cfg.grid.nx), 11.0)}
+        restart_mod.write_restart_v4(
+            s, p, istep=2, time=7200.0, time_forc=3.5, nilyr=cfg.nilyr,
+            nslyr=cfg.nslyr, tr=tr, oceanmixed=True, sw=sw)
+        s2, meta = restart_mod.read_restart_v4(p, cfg, tr, oceanmixed=True)
+        assert meta["istep"] == 2 and meta["time"] == 7200.0
+        assert meta["time_forc"] == 3.5
+        np.testing.assert_array_equal(meta["swvdr"], sw["swvdr"])
+        # every field the v4 format carries round-trips exactly
+        for name in ("aicen", "vicen", "vsnon", "uvel", "vvel",
+                     "scale_factor", "strocnxT", "strocnyT", "stressp",
+                     "stressm", "stress12", "iceumask", "sst", "frzmlt"):
+            np.testing.assert_array_equal(np.asarray(getattr(s, name)),
+                                          np.asarray(getattr(s2, name)),
+                                          err_msg=name)
+        for sl in (tr.nt_Tsfc, tr.nt_qice, tr.nt_sice, tr.nt_qsno):
+            np.testing.assert_array_equal(
+                np.asarray(s.trcrn[:, sl]), np.asarray(s2.trcrn[:, sl]))
+
+    def test_v4_continuation_runs(self, tmp_path):
+        """A converted v4 state must step without NaNs."""
+        m = small_model()
+        s = m.init_state(ice_mask=np.asarray(m.grid.tmask))
+        s, _ = m.step(s, m.forcing_at(0))
+        p = str(tmp_path / "iced.v4")
+        restart_mod.write_restart_v4(
+            s, p, istep=1, time=3600.0, nilyr=m.cfg.nilyr, nslyr=m.cfg.nslyr,
+            tr=m.tr, oceanmixed=True)
+        s2, _ = restart_mod.read_restart_v4(p, m.cfg, m.tr, oceanmixed=True)
+        s3, _ = m.step(s2, m.forcing_at(1))
+        assert np.isfinite(np.asarray(s3.vicen)).all()
+        assert np.isfinite(np.asarray(s3.uvel)).all()
