@@ -65,17 +65,19 @@ def synth_gx1_grid(cfg):
     return popgrid_np(cfg, np.deg2rad(ulat), ulon, htn, hte, angle, kmt)
 
 
-def _time_steps(m, state, n=10):
+def _time_steps(m, state, n=10, window=None):
+    """Time via a scanned rollout window (ONE dispatch per window — the
+    production launch shape; per-step dispatch through the axon tunnel
+    adds ~2 ms/step that no real deployment pays)."""
     import jax
     forcing = m.forcing_at(0)
-    step = lambda s: m._jstep(s, forcing, m.grid)[0]
-    s = step(state)                      # compile + warmup
+    w = window or n
+    s, _ = m.rollout(state, forcing, w)   # compile + warmup
     jax.block_until_ready(s.vicen)
     t0 = time.perf_counter()
-    for _ in range(n):
-        s = step(s)
+    s, _ = m.rollout(s, forcing, w)
     jax.block_until_ready(s.vicen)
-    return (time.perf_counter() - t0) / n
+    return (time.perf_counter() - t0) / w
 
 
 def bench_parity(**overrides):
@@ -123,13 +125,10 @@ def bench_tenday():
     m = Model(cfg, grid=grid)
     state = m.init_state()
     forcing = m.forcing_at(0)
-    step = lambda s: m._jstep(s, forcing, m.grid)[0]
-    s = step(state)                      # compile outside the window
+    s, _ = m.rollout(state, forcing, 240)   # compile outside the window
     jax.block_until_ready(s.vicen)
     t0 = time.perf_counter()
-    s = state
-    for _ in range(240):
-        s = step(s)
+    s, _ = m.rollout(state, forcing, 240)
     jax.block_until_ready(s.vicen)
     return time.perf_counter() - t0
 

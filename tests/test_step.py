@@ -150,3 +150,37 @@ def test_step_itd_conservation_and_zerolayer_checks():
     st0 = m0.init_state(ice_mask=m0.grid.tmask)
     st0, diag0 = m0.step(st0, m0.forcing_at(0))
     assert int(diag0.state_bad) == 0
+
+
+def test_rollout_matches_sequential():
+    """Model.rollout (lax.scan window, one dispatch) must reproduce the
+    sequential per-step trajectory bit-for-bit, for both fixed and
+    per-step stacked forcing."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from cice5_tpu.config import ForcingConfig, GridConfig, DynConfig
+    from cice5_tpu.config import TimeConfig
+    from cice5_tpu import ModelConfig
+    from cice5_tpu.driver.model import Model
+
+    cfg = ModelConfig(grid=GridConfig(nx=24, ny=20, lat0=71.0),
+                      dyn=DynConfig(kdyn=1, ndte=20, advection="remap"),
+                      forcing=ForcingConfig(oceanmixed_ice=True, natmiter=2),
+                      time=TimeConfig(dt=3600.0), dtype="float64",
+                      accum_dtype="float64")
+    m = Model(cfg)
+    s0 = m.init_state(ice_mask=np.asarray(m.grid.tmask))
+    f = m.forcing_at(0)
+    s = s0
+    for _ in range(3):
+        s, _ = m.step(s, f)
+    s_r, _ = m.rollout(s0, f, 3)
+    s_r2, _ = m.rollout(s0, jax.tree.map(lambda x: jnp.stack([x] * 3), f), 3)
+    for fld in dataclasses.fields(s):
+        np.testing.assert_array_equal(np.asarray(getattr(s, fld.name)),
+                                      np.asarray(getattr(s_r, fld.name)),
+                                      err_msg=fld.name)
+        np.testing.assert_array_equal(np.asarray(getattr(s, fld.name)),
+                                      np.asarray(getattr(s_r2, fld.name)),
+                                      err_msg="stacked " + fld.name)
