@@ -63,7 +63,12 @@ class ThermoConfig:
     saltmax: float = 3.2             # max bulk salinity, BL99 profile
     nsal: float = 0.407              # salinity profile shape params
     msal: float = 0.573
-    dSdt_slow_mode: float = -5.0e-8  # mushy drainage
+    # mushy gravity-drainage parameters (ice_init.F90:386-390 defaults;
+    # the gx templates override dSdt_slow_mode to -5.0e-8)
+    a_rapid_mode: float = 0.5e-3     # channel radius, rapid mode (m)
+    Rac_rapid_mode: float = 10.0     # critical Rayleigh number
+    aspect_rapid_mode: float = 1.0   # convection aspect ratio
+    dSdt_slow_mode: float = -1.5e-7  # slow-mode drainage strength (m/s/K)
     phi_c_slow_mode: float = 0.05
     phi_i_mushy: float = 0.85        # solid fraction of frozen mush
     phi_init: float = 0.75           # initial liquid fraction of frazil
@@ -71,9 +76,9 @@ class ThermoConfig:
     ksno: float = 0.30
     hfrazilmin: float = 0.05         # min thickness of new frazil ice (m)
     # mushy solver controls (ice_therm_mushy.F90)
-    dTemp_errmax: float = 5.0e-4
-    nit_max_picard: int = 50
-    Tliquidus_max: float = 0.0
+    dTemp_errmax: float = 5.0e-4    # Picard convergence (K); f32 floors
+    # at max(10x this, 5e-3) — see mushy.picard_solver
+    nit_max_picard: int = 100
 
 
 @dataclass(frozen=True)
@@ -285,7 +290,7 @@ def gx3_config(grid_dir: str | None = None, **overrides) -> ModelConfig:
                         grid_format="nc",
                         grid_file=f"{d}/global_gx3.grid.nc",
                         kmt_file=f"{d}/global_gx3.kmt.nc"),
-        thermo=ThermoConfig(ktherm=2),
+        thermo=ThermoConfig(ktherm=2, dSdt_slow_mode=-5.0e-8),
         dyn=DynConfig(kdyn=1, ndte=120, advection="remap", kstrength=1,
                       krdg_partic=1, krdg_redist=1, mu_rdg=3.0, Cf=17.0),
         shortwave=ShortwaveConfig(shortwave="dEdd", R_ice=0.0, R_pnd=0.0,
@@ -321,7 +326,7 @@ def gx1_parity_config(**overrides) -> ModelConfig:
         nilyr=4,
         grid=GridConfig(nx=320, ny=384, grid_type="tripole",
                         ew_boundary="cyclic", ns_boundary="tripole"),
-        thermo=ThermoConfig(ktherm=2),
+        thermo=ThermoConfig(ktherm=2, dSdt_slow_mode=-5.0e-8),
         dyn=DynConfig(kdyn=1, ndte=120, advection="remap", kstrength=1,
                       krdg_partic=1, krdg_redist=1, mu_rdg=4.0, Cf=17.0),
         shortwave=ShortwaveConfig(shortwave="dEdd", R_ice=0.0, R_pnd=0.0,

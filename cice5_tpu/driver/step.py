@@ -638,7 +638,8 @@ def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
                           update_ocn_f=cfg.forcing.update_ocn_f,
                           ktherm=cfg.thermo.ktherm, sss=forcing.sss,
                           phi_init=cfg.thermo.phi_init,
-                          dSin0_frazil=cfg.thermo.dSin0_frazil)
+                          dSin0_frazil=cfg.thermo.dSin0_frazil,
+                          hfrazilmin=cfg.thermo.hfrazilmin)
     aicen, vicen, trcrn = nir.aicen, nir.vicen, nir.trcrn
     frazil = nir.frazil
     fresh = fresh + nir.dfresh

@@ -618,7 +618,8 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
                 trcrn, aice, aice0, frzmlt, Tf, salinz,
                 tr_FY=False, tr_lvl=False, tr_iage=False,
                 update_ocn_f=False, ktherm=1, sss=None,
-                phi_init=0.75, dSin0_frazil=3.0) -> NewIce:
+                phi_init=0.75, dSin0_frazil=3.0,
+                hfrazilmin=ct.hfrazilmin) -> NewIce:
     """Frazil formation: convert positive freezing potential into new ice
     in category 1 (or spread over categories when open water is scarce).
 
@@ -672,7 +673,7 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
 
     grow = vi0new > 0.0
     open_w = aice0 > ct.puny
-    hi0new = jnp.maximum(vi0new / jnp.maximum(aice0, ct.puny), ct.hfrazilmin)
+    hi0new = jnp.maximum(vi0new / jnp.maximum(aice0, ct.puny), hfrazilmin)
     too_thick = (hi0new > hi0max) & (aice0 + ct.puny < 1.0)
 
     # case A: open water, fits in cat 1

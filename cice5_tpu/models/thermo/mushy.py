@@ -206,7 +206,9 @@ def flushing_velocity(dt, zTin, zSin, phi, hin, hsn, hilyr, hpond, apond):
 
 
 def explicit_flow_velocities(dt, zSin, zTin, Tsf, Tbot, sss, qocn, hilyr,
-                             hin, dSdt_slow=DSDT_SLOW, phi_c=PHI_C_SLOW):
+                             hin, dSdt_slow=DSDT_SLOW, phi_c=PHI_C_SLOW,
+                             a_rapid=A_RAPID, Rac_rapid=RAC_RAPID,
+                             aspect_rapid=ASPECT_RAPID):
     """Rapid-mode Darcy flow q and slow-mode drainage dSdt
     (ice_therm_mushy.F90:2953-3120). Returns (q (nilyr,*B), dSdt, Sbr, qbr).
     """
@@ -242,15 +244,15 @@ def explicit_flow_velocities(dt, zSin, zTin, Tsf, Tbot, sss, qocn, hilyr,
         Ra = drho * (hin - z) * perm_min * ra_const
         rn = float(idx + 1)
         L = rn * hilyr
-        dx = L * 2.0 * ASPECT_RAPID
+        dx = L * 2.0 * aspect_rapid
         dx2 = dx * dx
         Am = (dx2 * rn) / (ct.viscosity_dyn * perm_harm)
         Bm = (-ct.gravit * rho_sum) / rn
-        Ap = (ct.pi * A_RAPID ** 4) / (8.0 * ct.viscosity_dyn)
+        Ap = (ct.pi * a_rapid ** 4) / (8.0 * ct.viscosity_dyn)
         Bp = -rho_pipe * ct.gravit
         qk = jnp.maximum((Am / dx2) * ((-Ap * Bp - Am * Bm) / (Am + Ap) + Bm),
                          1.0e-30)
-        qk = jnp.minimum(qk * (jnp.maximum(Ra - RAC_RAPID, 0.0)
+        qk = jnp.minimum(qk * (jnp.maximum(Ra - Rac_rapid, 0.0)
                                / (Ra + ct.puny)), qlimit)
         dS = dSdt_slow * (jnp.maximum(zSin[k] - phi_c * Sbr[k], 0.0)
                           * jnp.maximum(Tbot - Tsf, 0.0)) / (hin + 0.001)
@@ -351,7 +353,8 @@ def picard_solver(dt, *, nilyr, nslyr, mask, lsnow, lcold,
                   Iswabs, Sswabs, Tbot, fswint, fswsfc,
                   rhoa, flw, potT, Qa, shcoef, lhcoef,
                   qpond, qocn, Spond, sss, q, dSdt, w,
-                  hilyr, hslyr) -> PicardResult:
+                  hilyr, hslyr, dtemp_errmax=DTEMP_ERRMAX,
+                  nit_max=NIT_MAX) -> PicardResult:
     """Batched Picard iteration (ice_therm_mushy.F90:1324-1620)."""
     nmat = 1 + nslyr + nilyr
     B = Tsf.shape
@@ -374,7 +377,8 @@ def picard_solver(dt, *, nilyr, nslyr, mask, lsnow, lcold,
         ferrmax_eff = 1.0e-2 + 8.0 * eps32 * jnp.abs(einit0) / dt
     # f32: marginal cells oscillate against 5e-4 K at the tridiag noise
     # floor; 5e-3 K stays inside the reference's acceptable < 0.01 K
-    dtemp_errmax_eff = DTEMP_ERRMAX if dtype == jnp.float64 else 5.0e-3
+    dtemp_errmax_eff = (dtemp_errmax if dtype == jnp.float64
+                        else max(float(dtemp_errmax) * 10.0, 5.0e-3))
 
     Tsf0 = jnp.where(lcold, Tsf, 0.0)
 
@@ -475,7 +479,7 @@ def picard_solver(dt, *, nilyr, nslyr, mask, lsnow, lcold,
              converged=~mask)
 
     def cond(c):
-        return (c.nit < NIT_MAX) & jnp.any(~c.converged)
+        return (c.nit < nit_max) & jnp.any(~c.converged)
 
     def body(c):
         active = ~c.converged
@@ -705,7 +709,14 @@ def temperature_changes_salinity(dt, *, nilyr, nslyr, mask,
                                  rhoa, flw, potT, Qa, shcoef, lhcoef,
                                  fswsfc, fswint, Sswabs, Iswabs,
                                  hilyr, hslyr, zqin, zSin, zqsn,
-                                 hpond, apond, Tsf, Tbot, sss) -> MushyResult:
+                                 hpond, apond, Tsf, Tbot, sss,
+                                 dSdt_slow_mode=DSDT_SLOW,
+                                 phi_c_slow_mode=PHI_C_SLOW,
+                                 a_rapid_mode=A_RAPID,
+                                 Rac_rapid_mode=RAC_RAPID,
+                                 aspect_rapid_mode=ASPECT_RAPID,
+                                 dtemp_errmax=DTEMP_ERRMAX,
+                                 nit_max=NIT_MAX) -> MushyResult:
     """Full mushy temperature/salinity update for one category slab
     (temperature_changes_column, ice_therm_mushy.F90:305-599)."""
     lsnow = hslyr > (ct.hs_min / nslyr)
@@ -721,7 +732,10 @@ def temperature_changes_salinity(dt, *, nilyr, nslyr, mask,
     w = flushing_velocity(dt, zTin0, zSin, phi, hin, hsn, hilyr, hpond,
                           apond)
     q, dSdt, Sbr0, qbr0 = explicit_flow_velocities(
-        dt, zSin, zTin0, Tsf, Tbot, sss, qocn, hilyr, hin)
+        dt, zSin, zTin0, Tsf, Tbot, sss, qocn, hilyr, hin,
+        dSdt_slow=dSdt_slow_mode, phi_c=phi_c_slow_mode,
+        a_rapid=a_rapid_mode, Rac_rapid=Rac_rapid_mode,
+        aspect_rapid=aspect_rapid_mode)
     km = conductivity_mush(temperature_mush(zqin, zSin), zSin)
     ks = jnp.broadcast_to(jnp.asarray(ct.ksno, zqin.dtype),
                           (nslyr,) + Tsf.shape)
@@ -732,7 +746,8 @@ def temperature_changes_salinity(dt, *, nilyr, nslyr, mask,
                   fswsfc=fswsfc, rhoa=rhoa, flw=flw, potT=potT, Qa=Qa,
                   shcoef=shcoef, lhcoef=lhcoef, qpond=qpond, qocn=qocn,
                   Spond=Spond, sss=sss, q=q, dSdt=dSdt, w=w, hilyr=hilyr,
-                  hslyr=jnp.maximum(hslyr, ct.puny))
+                  hslyr=jnp.maximum(hslyr, ct.puny),
+                  dtemp_errmax=dtemp_errmax, nit_max=nit_max)
 
     # two-stage: solve with the initial surface condition, re-solve flipped
     # cells (two_stage_solver_{snow,nosnow}, :601-1320). The reference

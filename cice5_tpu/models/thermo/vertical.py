@@ -115,7 +115,8 @@ class ThicknessResult(NamedTuple):
 def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
                       hilyr, hslyr, zqin, zqsn, zSin,
                       fbot, Tbot, flatn, fsurfn, fcondtopn, fcondbot,
-                      fsnow, sss=None) -> ThicknessResult:
+                      fsnow, sss=None,
+                      phi_i_mushy=0.85) -> ThicknessResult:
     """Growth/melt at all surfaces + snowfall + freeboard + repartition
     (ice_therm_vertical.F90:1283-2028). BL99 path (ktherm != 2); the mushy
     qmlt/salinity branches plug into the same budget structure later.
@@ -174,8 +175,6 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
     # --- bottom growth (:1552-1624) ---
     if ktherm == 2:
         from cice5_tpu.models.thermo import mushy
-        from cice5_tpu.config import ThermoConfig
-        phi_i_mushy = 0.85
         qbotm = mushy.enthalpy_mush(Tbot, sss)
         qbotp = -ct.Lfresh * ct.rhoi * (1.0 - phi_i_mushy)
         qbot0 = qbotm - qbotp
@@ -467,7 +466,13 @@ def thermo_vertical(dt, cfg, *, aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
             potT=potT, Qa=Qa, shcoef=shcoef, lhcoef=lhcoef, fswsfc=fswsfc,
             fswint=fswint, Sswabs=Sswabs, Iswabs=Iswabs, hilyr=hilyr,
             hslyr=hslyr, zqin=zqin, zSin=zSin, zqsn=zqsn, hpond=hpond,
-            apond=apond, Tsf=Tsf, Tbot=Tbot, sss=sss)
+            apond=apond, Tsf=Tsf, Tbot=Tbot, sss=sss,
+            dSdt_slow_mode=th.dSdt_slow_mode,
+            phi_c_slow_mode=th.phi_c_slow_mode,
+            a_rapid_mode=th.a_rapid_mode,
+            Rac_rapid_mode=th.Rac_rapid_mode,
+            aspect_rapid_mode=th.aspect_rapid_mode,
+            dtemp_errmax=th.dTemp_errmax, nit_max=th.nit_max_picard)
         # pack into the BL99Result-compatible view used below
         class _R:
             pass
@@ -536,7 +541,8 @@ def thermo_vertical(dt, cfg, *, aicen, vicen, vsnon, Tsfcn, zqin, zqsn, zSin,
         dt, nilyr=nilyr, nslyr=nslyr, ktherm=th.ktherm, l_brine=l_brine,
         hilyr=hilyr, hslyr=hslyr, zqin=r.zqin, zqsn=r.zqsn, zSin=zSin_cur,
         fbot=fbot, Tbot=Tbot, flatn=r.flatn, fsurfn=r.fsurfn,
-        fcondtopn=r.fcondtopn, fcondbot=r.fcondbot, fsnow=fsnow, sss=sss)
+        fcondtopn=r.fcondtopn, fcondbot=r.fcondbot, fsnow=fsnow, sss=sss,
+        phi_i_mushy=th.phi_i_mushy)
 
     # conservation check (ice_therm_vertical.F90:2283-2400)
     einp = (r.fsurfn - r.flatn + r.fswint - tc.fhocnn
