@@ -155,6 +155,12 @@ class Model:
             tlon=self.grid.TLON, orb=self.orb))
 
     def init_state(self, **kw) -> State:
+        # slab-ocean runs start SST from the forcing's open-water SST
+        # (the reference reads sst from the ocean climatology at init,
+        # ice_forcing.F90:3161); default Tf everywhere otherwise
+        if "sst" not in kw and self.cfg.forcing.oceanmixed_ice \
+                and self.forcing_provider is None:
+            kw["sst"] = self.forcing_at(0).sst
         return init_state(self.cfg, self.grid, self.tr, self.hin_max,
                           self.salinz, **kw)
 

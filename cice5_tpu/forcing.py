@@ -105,12 +105,28 @@ def idealized_polar_forcing(shape, yday: float, *, Tair_mean=-15.0,
         coszen = compute_coszen(tlat, tlon, day, sec, orb).astype(dtype)
     else:
         coszen = f(0.3)
-    # season: coldest at yday ~ 15
+    # season: NH coldest at yday ~ 15; SH phase-flipped. With a latitude
+    # map the polar (Tair_mean, Tair_amp) climate blends into a mild
+    # +15 C equator so low latitudes stay ice-free (the role the ocean
+    # SST climatology plays for the reference's standalone runs,
+    # ice_forcing.F90:3161 ocn_data_clim) — without it the slab ocean
+    # sits at Tf everywhere and frazil covers the tropics in hours.
     phase = 2.0 * jnp.pi * (yd - 196.0) / 365.0
-    TairC = Tair_mean + Tair_amp * jnp.cos(phase)
+    if tlat is not None:
+        latw = jnp.abs(jnp.sin(tlat)).astype(dtype)      # 1 pole, 0 equator
+        season = jnp.where(tlat >= 0, jnp.cos(phase),
+                           -jnp.cos(phase)).astype(dtype)
+        TairC = (Tair_mean + Tair_amp * season) * latw \
+            + 15.0 * (1.0 - latw)
+        sst_open = (1.0 - latw) ** 2 * 24.0              # above freezing
+    else:
+        latw = None
+        season = jnp.cos(phase)
+        TairC = Tair_mean + Tair_amp * season
+        sst_open = 0.0
     Tair = TairC + ct.Tffresh
-    # daylight SW: peaks with the warm season (~ yday 196), max ~ 280 W/m2
-    fsw = jnp.maximum(0.0, 280.0 * jnp.cos(phase))
+    # daylight SW: peaks with the local warm season, max ~ 280 W/m2
+    fsw = jnp.maximum(0.0, 280.0 * season)
     bc = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype), shape)
     swvdr, swvdf, swidr, swidf = sw_partition(bc(fsw))
     Qa = 0.0001 + 0.0003 * jnp.maximum(0.0, (TairC + 30.0) / 30.0)
@@ -121,7 +137,7 @@ def idealized_polar_forcing(shape, yday: float, *, Tair_mean=-15.0,
         potT=bc(Tair), Tair=bc(Tair), Qa=bc(Qa), rhoa=f(1.3), flw=flw,
         fsnow=bc(jnp.where(TairC < 0, 3.0e-6, 0.0)), frain=f(0.0),
         swvdr=swvdr, swvdf=swvdf, swidr=swidr, swidf=swidf,
-        sss=sss, sst=Tf_from_sss(sss), uocn=f(0.0), vocn=f(0.0),
-        ss_tltx=f(0.0), ss_tlty=f(0.0), frzmlt=f(0.0),
+        sss=sss, sst=bc(Tf_from_sss(sss) + sst_open), uocn=f(0.0),
+        vocn=f(0.0), ss_tltx=f(0.0), ss_tlty=f(0.0), frzmlt=f(0.0),
         Tf=Tf_from_sss(sss), qdp=f(0.0), hmix=f(hmix_val),
         yday=jnp.asarray(yday, dtype), coszen=coszen)
