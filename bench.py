@@ -15,8 +15,10 @@ Baseline (BASELINE.md, corrected label): the reference gx1 10-day run at
 single-chip rate at the same global grid size and physics divided by that
 whole-job rate — one TPU chip vs 320 Cray XE6 tasks.
 """
+import dataclasses
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -65,19 +67,82 @@ def synth_gx1_grid(cfg):
     return popgrid_np(cfg, np.deg2rad(ulat), ulon, htn, hte, angle, kmt)
 
 
+class BenchFailure(SystemExit):
+    """Raised (exits nonzero) when a timing run fails its sanity guards —
+    a wedged device, collapsed state, or dead-code-eliminated window must
+    never be recorded as a result (round-3 postmortem: BENCH_r03.json
+    recorded a physically impossible 0.11 ms/step that nothing caught)."""
+
+    def __init__(self, msg):
+        super().__init__(f"BENCH GUARD FAILED: {msg}")
+
+
+def _check_health(m, state, diag, label):
+    """Assert the timed state is the real thing: finite, ice-covered
+    within sane global bounds, thermo converged, no in-step l_stop flags.
+    """
+    vicen = np.asarray(state.vicen)
+    aicen = np.asarray(state.aicen)
+    if not np.isfinite(vicen).all() or not np.isfinite(aicen).all():
+        raise BenchFailure(f"{label}: non-finite state after timing")
+    tarea = np.asarray(m.grid.tarea)
+    tmask = np.asarray(m.grid.tmask)
+    ocean_area = float((tarea * tmask).sum())
+    ice_area = float((aicen.sum(0) * tarea * tmask).sum())
+    frac = ice_area / ocean_area
+    if not (0.005 < frac < 1.05):
+        raise BenchFailure(
+            f"{label}: global ice fraction {frac:.4f} of ocean area is "
+            "outside sane bounds (0.5%..105%) — state collapsed or blew up")
+    if float(vicen.sum()) <= 0.0:
+        raise BenchFailure(f"{label}: zero total ice volume")
+    if diag is not None:
+        if int(np.asarray(diag.state_bad)) > 0:
+            raise BenchFailure(
+                f"{label}: in-step state_bad={int(np.asarray(diag.state_bad))}")
+        if not bool(np.asarray(diag.therm_converged)):
+            raise BenchFailure(f"{label}: thermo solver did not converge")
+
+
 def _time_steps(m, state, n=10, window=None):
     """Time via a scanned rollout window (ONE dispatch per window — the
     production launch shape; per-step dispatch through the axon tunnel
-    adds ~2 ms/step that no real deployment pays)."""
+    adds ~2 ms/step that no real deployment pays).
+
+    Guards (see BenchFailure): state health is asserted before AND after
+    the timed window, and the rollout timing is cross-checked against a
+    3-step per-step timing — if they disagree by more than 3x the run
+    aborts nonzero instead of recording garbage.
+    """
     import jax
     forcing = m.forcing_at(0)
     w = window or n
-    s, _ = m.rollout(state, forcing, w)   # compile + warmup
+    s, d = m.rollout(state, forcing, w)   # compile + warmup
     jax.block_until_ready(s.vicen)
+    _check_health(m, s, d, "post-warmup")
     t0 = time.perf_counter()
-    s, _ = m.rollout(s, forcing, w)
+    s, d = m.rollout(s, forcing, w)
     jax.block_until_ready(s.vicen)
-    return (time.perf_counter() - t0) / w
+    dt_roll = (time.perf_counter() - t0) / w
+    _check_health(m, s, d, "post-timing")
+    # cross-check: 3 individually dispatched steps (already compiled via
+    # the scan body? no — separate jit; compile once, then time the min)
+    s2, d2 = m.step(s, forcing)
+    jax.block_until_ready(s2.vicen)
+    per_step = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s2, d2 = m.step(s2, forcing)
+        jax.block_until_ready(s2.vicen)
+        per_step.append(time.perf_counter() - t0)
+    dt_single = min(per_step)
+    _check_health(m, s2, d2, "per-step cross-check")
+    if not (dt_single / 3.0 < dt_roll < dt_single * 3.0 + 1e-3):
+        raise BenchFailure(
+            f"rollout timing {dt_roll*1e3:.3f} ms/step disagrees >3x with "
+            f"per-step timing {dt_single*1e3:.3f} ms/step — one of them "
+            "did not do the work")
+    return dt_roll, dt_single
 
 
 def bench_parity(**overrides):
@@ -87,7 +152,8 @@ def bench_parity(**overrides):
     grid = synth_gx1_grid(cfg)
     m = Model(cfg, grid=grid)
     state = m.init_state()               # reference 70N/60S edge init
-    return _time_steps(m, state), cfg.grid.nx * cfg.grid.ny
+    dt_roll, dt_single = _time_steps(m, state)
+    return dt_roll, dt_single, cfg.grid.nx * cfg.grid.ny
 
 
 def bench_easy():
@@ -95,7 +161,8 @@ def bench_easy():
     m = _make_model(nx=320, ny=384, ndte=120, dtype="float32",
                     advection="remap")
     state = m.init_state(ice_mask=np.asarray(m.grid.tmask))
-    return _time_steps(m, state), 320 * 384
+    dt_roll, dt_single = _time_steps(m, state)
+    return dt_roll, dt_single, 320 * 384
 
 
 def bench_big():
@@ -109,7 +176,43 @@ def bench_big():
     grid = synth_gx1_grid(cfg)
     m = Model(cfg, grid=grid)
     state = m.init_state()
-    return _time_steps(m, state, n=5), cfg.grid.nx * cfg.grid.ny
+    dt_roll, dt_single = _time_steps(m, state, n=5)
+    return dt_roll, dt_single, cfg.grid.nx * cfg.grid.ny
+
+
+def bench_tx01():
+    """Optional (--tx01): NUMERICAL sanity (not a timing) at the
+    0.1-degree production size 3600x2700
+    (bld/config.nci.auscom.3600x2700: the reference runs it at 722-18000
+    MPI tasks) under ShardedModel on a virtual 8-device CPU mesh: two
+    full parity-physics steps, asserting finite state, in-step health
+    (state_bad==0), and sane global budgets."""
+    import jax
+    from cice5_tpu.config import gx1_parity_config
+    from cice5_tpu.driver.sharded import ShardedModel
+    from cice5_tpu.io import diagnostics as diag_mod
+    cfg = gx1_parity_config()
+    cfg = cfg.replace(grid=dataclasses.replace(cfg.grid, nx=3600, ny=2700))
+    grid = synth_gx1_grid(cfg)
+    sm = ShardedModel(cfg, devices=jax.devices()[:8], grid=grid)
+    st = sm.init_state()
+    for k in range(2):
+        st, d = sm.step(st, sm.forcing_at(k))
+    jax.block_until_ready(st.vicen)
+    if int(np.asarray(d.state_bad)) > 0:
+        raise BenchFailure(f"tx01: state_bad={int(np.asarray(d.state_bad))}")
+    _check_health(sm, st, d, "tx01")
+    gd = diag_mod.compute_diags(st, sm.grid, sm.tr, cfg.nilyr, cfg.nslyr)
+    for kk, v in gd._asdict().items():
+        if not np.isfinite(v):
+            raise BenchFailure(f"tx01: non-finite global budget {kk}")
+    return {"metric": "tx01_sanity", "tx01_ok": True,
+            "cells": cfg.grid.nx * cfg.grid.ny,
+            "mesh": list(sm.mesh.devices.shape),
+            "extent_nh_km2": round(float(gd.extentn) / 1e6, 1),
+            "note": ("two full gx1-parity-physics steps at the tx0.1 "
+                     "production size on a virtual 8-device CPU mesh; "
+                     "finite state + in-step health + global budgets")}
 
 
 def bench_tenday():
@@ -125,16 +228,42 @@ def bench_tenday():
     m = Model(cfg, grid=grid)
     state = m.init_state()
     forcing = m.forcing_at(0)
-    s, _ = m.rollout(state, forcing, 240)   # compile outside the window
+    s, d = m.rollout(state, forcing, 240)   # compile outside the window
     jax.block_until_ready(s.vicen)
+    _check_health(m, s, d, "tenday warmup")
     t0 = time.perf_counter()
-    s, _ = m.rollout(state, forcing, 240)
+    s, d = m.rollout(state, forcing, 240)
     jax.block_until_ready(s.vicen)
-    return time.perf_counter() - t0
+    wall = time.perf_counter() - t0
+    _check_health(m, s, d, "tenday post-timing")
+    if wall < 240 * 1e-3:   # < 1 ms/step is below the HBM-traffic floor
+        raise BenchFailure(
+            f"10-day wall {wall:.3f}s implies <1 ms/step — impossible")
+    return wall
 
 
 def main():
     import sys
+    if "--tx01" in sys.argv:
+        # needs an 8-device virtual CPU mesh: re-exec in a clean CPU env
+        # if the axon TPU plugin grabbed the backend (conftest pattern)
+        if os.environ.get("PALLAS_AXON_POOL_IPS"):
+            import subprocess
+            env = dict(os.environ)
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env["PYTHONPATH"] = os.pathsep.join(
+                p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                if p and "axon" not in p)
+            env["JAX_PLATFORMS"] = "cpu"
+            flags = env.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                env["XLA_FLAGS"] = (
+                    flags + " --xla_force_host_platform_device_count=8"
+                ).strip()
+            raise SystemExit(subprocess.run(
+                [sys.executable, __file__, "--tx01"], env=env).returncode)
+        print(json.dumps(bench_tx01()))
+        return
     if "--tenday" in sys.argv:
         wall = bench_tenday()
         print(json.dumps({
@@ -149,20 +278,22 @@ def main():
         }))
         return
     if "--big" in sys.argv:
-        dt_big, cells_big = bench_big()
+        dt_big, dt_big_single, cells_big = bench_big()
         print(json.dumps({
             "metric": "auscom025_parity_cell_steps_per_sec_per_chip",
             "value": round(cells_big / dt_big, 1),
             "unit": "cell*steps/s",
             "step_ms": round(dt_big * 1e3, 2),
+            "per_step_dispatch_ms": round(dt_big_single * 1e3, 2),
+            "big_ok": True,   # _check_health passed: finite, ice-covered
             "note": ("0.25-deg ACCESS-OM production size 1440x1080, gx1 "
                      "physics parity, one chip; reference runs this "
                      "coupled at 192-722 MPI tasks"),
         }))
         return
-    dt_parity, cells = bench_parity()
-    dt_7lyr, _ = bench_parity(nilyr=7)
-    dt_easy, _ = bench_easy()
+    dt_parity, dt_parity_single, cells = bench_parity()
+    dt_7lyr, _, _ = bench_parity(nilyr=7)
+    dt_easy, _, _ = bench_easy()
     rate = cells / dt_parity
     rate_easy = cells / dt_easy
     baseline = 1.372e6   # whole 320-task Hopper job, cell-steps/s (CMHB T3)
@@ -177,6 +308,9 @@ def main():
                  "(bld/build.sh:52); baseline = whole 320-task Hopper job "
                  "aggregate rate, 1 chip vs 320 tasks"),
         "step_ms": round(dt_parity * 1e3, 2),
+        "per_step_dispatch_ms": round(dt_parity_single * 1e3, 2),
+        "health_guards": "passed",   # finite+ice-covered+converged, and
+        # rollout vs per-step timings agree within 3x (see BenchFailure)
         "nilyr7_step_ms": round(dt_7lyr * 1e3, 2),
         "easy_config_value": round(rate_easy, 1),
         "easy_config_step_ms": round(dt_easy * 1e3, 2),

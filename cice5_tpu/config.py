@@ -114,6 +114,12 @@ class DynConfig:
     # the XLA path elsewhere; "xla"/"pallas" force one. Same math either
     # way (_integrals runs inside the kernel on VMEM tiles).
     remap_kernel: str = "auto"
+    # per-category mechanical-redistribution history diagnostics
+    # (f_dardg1ndt/f_araftn/f_aparticn/f_krdgn/f_aredistn...,
+    # ice_history_mechred.F90). Off by default: they add 9 (ncat,ny,nx)
+    # accumulators to the ridging while-loop carry (HBM traffic in a
+    # hot-path budget item).
+    diag_mechred: bool = False
 
 
 @dataclass(frozen=True)
@@ -175,6 +181,9 @@ class TracerConfig:
     tr_bgc_DMSPd_sk: bool = True
     tr_bgc_DMS_sk: bool = True
     bgc_flux_type: str = "Jin2006"   # Jin2006 | constant
+    # fraction of ocean dissolved-tracer concentration taken up by new
+    # frazil ice (ice_zbgc_shared.F90:83 initbio_frac, zbgc_nml)
+    initbio_frac: float = 1.0
     # pond params (ice_init.F90 ponds_nml)
     hs0: float = 0.03
     hs1: float = 0.03
@@ -241,6 +250,15 @@ class ModelConfig:
 
     dtype: str = "float32"           # state dtype ("float32" | "float64")
     accum_dtype: str = "float32"     # reduction/accumulation dtype
+
+    # reference coupled-mode radiation ordering: thermo consumes LAST
+    # step's per-category SW absorption rescaled by prep_radiation
+    # (ice_step_mod.F90:33-154); radiation proper runs at the END of the
+    # step on the post-dynamics state (step_radiation, :1364), feeding
+    # the coupler and the next step. False = standalone ordering
+    # (radiation at step start from current forcing; equivalent up to the
+    # one-step albedo lag the reference accepts for coupler symmetry).
+    coupled_radiation: bool = False
 
     @property
     def xp_dtype(self):

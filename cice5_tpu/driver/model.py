@@ -161,8 +161,15 @@ class Model:
         if "sst" not in kw and self.cfg.forcing.oceanmixed_ice \
                 and self.forcing_provider is None:
             kw["sst"] = self.forcing_at(0).sst
-        return init_state(self.cfg, self.grid, self.tr, self.hin_max,
-                          self.salinz, **kw)
+        st = init_state(self.cfg, self.grid, self.tr, self.hin_max,
+                        self.salinz, **kw)
+        if self.cfg.coupled_radiation:
+            # init_shortwave analog: seed the radiation memory so the
+            # first coupled-ordering step has nonzero SW
+            from cice5_tpu.driver.step import prefill_radiation
+            st = prefill_radiation(st, self.forcing_at(0), self.cfg,
+                                   self.tr)
+        return st
 
     forcing_provider = None   # optional: callable(istep, info) -> Forcing
 

@@ -51,10 +51,12 @@ class ShardedModel:
     cfg: ModelConfig
     devices: list | None = None
     mesh_shape: tuple | None = None
+    grid: object | None = None    # optional pre-built Grid (synthesized
+    # or read elsewhere), like Model(cfg, grid=...)
 
     def __post_init__(self):
         cfg = self.cfg
-        self.inner = Model(cfg)
+        self.inner = Model(cfg, grid=self.grid)
         self.grid = self.inner.grid
         self.tr = self.inner.tr
         self.calendar = self.inner.calendar

@@ -71,6 +71,7 @@ class StepDiag(NamedTuple):
     frazil: jnp.ndarray
     frzmlt: jnp.ndarray
     dardg1dt: jnp.ndarray
+    dardg2dt: jnp.ndarray
     dvirdgdt: jnp.ndarray
     divu: jnp.ndarray
     shear: jnp.ndarray
@@ -127,6 +128,24 @@ class StepDiag(NamedTuple):
     flux_bio: jnp.ndarray    # (nbtrcr, ny, nx) BGC flux to ocean; empty
     PP_net: jnp.ndarray      # net primary production (mg C/m^2/s)
     grow_net: jnp.ndarray    # net specific algal growth (1/s)
+    opening: jnp.ndarray     # lead opening rate (1/s; f_opening)
+    # form-drag diagnostics stacked in DRAG_KEYS order (ice_history_drag
+    # .F90 f_drag/f_Cdn_atm/f_Cdn_ocn); (len(DRAG_KEYS), ny, nx) when
+    # cfg.forcing.formdrag else (0, ny, nx)
+    drag: jnp.ndarray
+    # per-category mechred diagnostics stacked in RDGN_KEYS order
+    # (ice_history_mechred.F90); (9, ncat, ny, nx) when
+    # cfg.dyn.diag_mechred else (0, ncat, ny, nx)
+    rdgn: jnp.ndarray
+
+
+# unpack orders for the stacked diagnostic groups
+DRAG_KEYS = ("Cdn_atm", "Cdn_ocn", "Cdn_atm_skin", "Cdn_atm_floe",
+             "Cdn_atm_pond", "Cdn_atm_rdg", "Cdn_ocn_skin", "Cdn_ocn_floe",
+             "Cdn_ocn_keel", "hfreebd", "hdraft", "hridge", "distrdg",
+             "hkeel", "dkeel", "lfloe", "dfloe")
+RDGN_KEYS = ("dardg1ndt", "dardg2ndt", "dvirdgndt", "araftn", "vraftn",
+             "aparticn", "krdgn", "aredistn", "vredistn")
 
 
 LANE = 128   # TPU lane width: packed column batches are (rows, LANE)
@@ -180,67 +199,25 @@ def _scatter_cols(vals, sidx, base):
     return out.reshape(base.shape)
 
 
-class ColState(NamedTuple):
-    """The slice of State the column physics reads (possibly packed)."""
-    aicen: jnp.ndarray
-    vicen: jnp.ndarray
-    vsnon: jnp.ndarray
-    trcrn: jnp.ndarray
-    first_ice: jnp.ndarray
-    strocnxT: jnp.ndarray
-    strocnyT: jnp.ndarray
+class RadOut(NamedTuple):
+    """Per-category radiation outputs (run_dEdd / shortwave_ccsm3)."""
+    alb: object              # ccsm3.Albedos
+    absr: object             # ccsm3.AbsorbedSolar
+    Sswabsn: jnp.ndarray     # (ncat, nslyr, *B) SW absorbed in snow
+    albpndn: jnp.ndarray     # (ncat, *B)
+    snowfracn: jnp.ndarray   # (ncat, *B)
 
 
-def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
-                    uice_T, vice_T, tmask, ULAT, salinz, cfg: ModelConfig,
-                    tr: TracerRegistry, hin_max):
-    """Pre-dynamics column physics: radiation, ABL + vertical thermo,
-    optional tracers, BGC, and step_therm2 ITD evolution
-    (ice_step_mod.F90 step_therm1/step_therm2). Batch-shape polymorphic:
-    every input array trails the same batch dims B — either the dense
-    (ny, nx) grid or a ColumnPacking's packed (rows, LANE) ocean batch.
-
-    Returns (stout, dg, sc): state-like arrays (scattered over their
-    dense originals), diagnostic fields (scattered over zeros), and
-    batch-invariant scalars."""
-    dt = cfg.time.dt
-    ncat, nilyr, nslyr = cfg.ncat, cfg.nilyr, cfg.nslyr
-    dtype = state.aicen.dtype
-
-    aicen, vicen, vsnon, trcrn = (state.aicen, state.vicen, state.vsnon,
-                                  state.trcrn)
+def _step_radiation(aicen, vicen, vsnon, trcrn, forcing, cfg, tr) -> RadOut:
+    """One radiation pass over all categories (step_radiation,
+    ice_step_mod.F90:1364: run_dEdd | shortwave_ccsm3). Called at the
+    start of the step in the standalone ordering, or at the END of the
+    step (on the post-dynamics state) under cfg.coupled_radiation."""
+    ncat = aicen.shape[0]
     B = aicen.shape[1:]
+    dtype = aicen.dtype
+    nilyr, nslyr = cfg.nilyr, cfg.nslyr
     Tsfcn = trcrn[:, tr.nt_Tsfc]
-    zqin = trcrn[:, tr.nt_qice:tr.nt_qice + nilyr]
-    zSin = trcrn[:, tr.nt_sice:tr.nt_sice + nilyr]
-    zqsn = trcrn[:, tr.nt_qsno:tr.nt_qsno + nslyr]
-
-    agg0 = itd.aggregate(tr, aicen, vicen, vsnon, trcrn)
-    aice = agg0.aice
-
-    # form drag (ice_atmo.F90:644 neutral_drag_coeffs; formdrag namelist)
-    if cfg.forcing.formdrag:
-        from cice5_tpu.models.formdrag import neutral_drag_coeffs
-        fdkw = {}
-        if tr.nt_apnd >= 0:
-            fdkw.update(apnd=trcrn[:, tr.nt_apnd],
-                        hpnd=trcrn[:, tr.nt_hpnd])
-            if tr.nt_ipnd >= 0:
-                fdkw.update(ipnd=trcrn[:, tr.nt_ipnd])
-        if tr.nt_alvl >= 0:
-            fdkw.update(alvl=trcrn[:, tr.nt_alvl],
-                        vlvl=trcrn[:, tr.nt_vlvl])
-        fd = neutral_drag_coeffs(aice=aice, vice=agg0.vice, vsno=agg0.vsno,
-                                 aicen=aicen, vicen=vicen, **fdkw)
-        Cdn_atm = fd.Cdn_atm
-        Cw_ocn = fd.Cdn_ocn
-    else:
-        Cdn_atm = None
-        Cw_ocn = ct.dragio
-
-    Tf = forcing.Tf
-
-    # ---------------- radiation per category via vmap -------------------
     sw = cfg.shortwave
     if sw.shortwave == "dEdd":
         from cice5_tpu.models.radiation.dedd import shortwave_dEdd
@@ -321,6 +298,138 @@ def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
                          vsnon / jnp.maximum(aicen, ct.puny), 0.0)
         snowfracn = jnp.where(aicen > ct.puny,
                               hs_r / (hs_r + ct.snowpatch), 0.0)
+
+
+    return RadOut(alb=alb, absr=absr, Sswabsn=Sswabsn, albpndn=albpndn,
+                  snowfracn=snowfracn)
+
+
+
+def prefill_radiation(state, forcing, cfg, tr):
+    """Seed the coupled-ordering radiation memory from the initial state
+    (init_shortwave, ice_shortwave.F90:164, called from cice_init —
+    without it the first coupled step would run thermo with zero SW)."""
+    rad = _step_radiation(state.aicen, state.vicen, state.vsnon,
+                          state.trcrn, forcing, cfg, tr)
+    rad_prev = jnp.concatenate(
+        [rad.absr.fswsfc[:, None], rad.absr.fswint[:, None],
+         rad.absr.fswthru[:, None], rad.Sswabsn, rad.absr.Iswabs], axis=1)
+    rad_alb = jnp.stack(
+        [jnp.sum(state.aicen * rad.alb.alvdrn, 0),
+         jnp.sum(state.aicen * rad.alb.alvdfn, 0),
+         jnp.sum(state.aicen * rad.alb.alidrn, 0),
+         jnp.sum(state.aicen * rad.alb.alidfn, 0)])
+    scale_factor = (forcing.swvdr * (1.0 - rad_alb[0])
+                    + forcing.swvdf * (1.0 - rad_alb[1])
+                    + forcing.swidr * (1.0 - rad_alb[2])
+                    + forcing.swidf * (1.0 - rad_alb[3]))
+    return state.replace(rad_prev=rad_prev, rad_alb=rad_alb,
+                         scale_factor=scale_factor)
+
+
+class ColState(NamedTuple):
+    """The slice of State the column physics reads (possibly packed)."""
+    aicen: jnp.ndarray
+    vicen: jnp.ndarray
+    vsnon: jnp.ndarray
+    trcrn: jnp.ndarray
+    first_ice: jnp.ndarray
+    strocnxT: jnp.ndarray
+    strocnyT: jnp.ndarray
+    scale_factor: jnp.ndarray
+    rad_prev: jnp.ndarray    # (ncat, nrad, *B) last step's SW absorption
+    rad_alb: jnp.ndarray     # (4, *B) last step's ice-only cell albedos
+
+
+def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
+                    uice_T, vice_T, tmask, ULAT, salinz, cfg: ModelConfig,
+                    tr: TracerRegistry, hin_max):
+    """Pre-dynamics column physics: radiation, ABL + vertical thermo,
+    optional tracers, BGC, and step_therm2 ITD evolution
+    (ice_step_mod.F90 step_therm1/step_therm2). Batch-shape polymorphic:
+    every input array trails the same batch dims B — either the dense
+    (ny, nx) grid or a ColumnPacking's packed (rows, LANE) ocean batch.
+
+    Returns (stout, dg, sc): state-like arrays (scattered over their
+    dense originals), diagnostic fields (scattered over zeros), and
+    batch-invariant scalars."""
+    dt = cfg.time.dt
+    ncat, nilyr, nslyr = cfg.ncat, cfg.nilyr, cfg.nslyr
+    dtype = state.aicen.dtype
+
+    aicen, vicen, vsnon, trcrn = (state.aicen, state.vicen, state.vsnon,
+                                  state.trcrn)
+    B = aicen.shape[1:]
+    Tsfcn = trcrn[:, tr.nt_Tsfc]
+    zqin = trcrn[:, tr.nt_qice:tr.nt_qice + nilyr]
+    zSin = trcrn[:, tr.nt_sice:tr.nt_sice + nilyr]
+    zqsn = trcrn[:, tr.nt_qsno:tr.nt_qsno + nslyr]
+
+    agg0 = itd.aggregate(tr, aicen, vicen, vsnon, trcrn)
+    aice = agg0.aice
+
+    # form drag (ice_atmo.F90:644 neutral_drag_coeffs; formdrag namelist)
+    if cfg.forcing.formdrag:
+        from cice5_tpu.models.formdrag import neutral_drag_coeffs
+        fdkw = {}
+        if tr.nt_apnd >= 0:
+            fdkw.update(apnd=trcrn[:, tr.nt_apnd],
+                        hpnd=trcrn[:, tr.nt_hpnd])
+            if tr.nt_ipnd >= 0:
+                fdkw.update(ipnd=trcrn[:, tr.nt_ipnd])
+        if tr.nt_alvl >= 0:
+            fdkw.update(alvl=trcrn[:, tr.nt_alvl],
+                        vlvl=trcrn[:, tr.nt_vlvl])
+        fd = neutral_drag_coeffs(aice=aice, vice=agg0.vice, vsno=agg0.vsno,
+                                 aicen=aicen, vicen=vicen, **fdkw)
+        Cdn_atm = fd.Cdn_atm
+        Cw_ocn = fd.Cdn_ocn
+        # full drag-diagnostic stack for history (DRAG_KEYS order)
+        drag_stack = jnp.stack([getattr(fd, k) for k in DRAG_KEYS])
+    else:
+        Cdn_atm = None
+        Cw_ocn = ct.dragio
+        drag_stack = None
+
+    Tf = forcing.Tf
+
+    # ---------------- radiation per category via vmap -------------------
+    if cfg.coupled_radiation:
+        # prep_radiation ordering (ice_step_mod.F90:33-154): thermo runs
+        # on LAST step's per-category SW absorption, rescaled by the
+        # ratio of this step's net absorbed SW (previous ice albedos
+        # applied to the new incoming SW) to last step's (scale_factor,
+        # carried in State). The radiation proper runs at the END of the
+        # step (step_radiation after dynamics) — see step() below.
+        al = state.rad_alb                       # (4, *B) prev ice albedos
+        netsw = (forcing.swvdr * (1.0 - al[0])
+                 + forcing.swvdf * (1.0 - al[1])
+                 + forcing.swidr * (1.0 - al[2])
+                 + forcing.swidf * (1.0 - al[3]))
+        sfac = jnp.where((aice > 0.0) & (state.scale_factor > ct.puny),
+                         netsw / jnp.maximum(state.scale_factor, ct.puny),
+                         1.0)
+        rp = state.rad_prev * sfac[None, None]   # (ncat, nrad, *B)
+        from cice5_tpu.models.radiation.ccsm3 import (Albedos,
+                                                      AbsorbedSolar)
+        absr = AbsorbedSolar(
+            fswsfc=rp[:, 0], fswint=rp[:, 1], fswthru=rp[:, 2],
+            Iswabs=rp[:, 3 + nslyr:3 + nslyr + nilyr],
+            fswpenl=jnp.zeros((ncat, nilyr + 1) + B, dtype))
+        Sswabsn = rp[:, 3:3 + nslyr]
+        zc = jnp.zeros_like(aicen)
+        # per-category albedos/snow fraction are produced by the
+        # end-of-step radiation in step(); zeros here are placeholders
+        # overwritten in dg before the diag is built
+        alb = Albedos(alvdrn=zc, alidrn=zc, alvdfn=zc, alidfn=zc,
+                      alvdrni=zc, alidrni=zc, alvdfni=zc, alidfni=zc,
+                      alvdrns=zc, alidrns=zc, alvdfns=zc, alidfns=zc,
+                      albin=zc, albsn=zc)
+        albpndn = zc
+        snowfracn = zc
+    else:
+        alb, absr, Sswabsn, albpndn, snowfracn = _step_radiation(
+            aicen, vicen, vsnon, trcrn, forcing, cfg, tr)
 
     # ---------------- bottom flux & lateral melt potential --------------
     qicen_tot = jnp.sum(zqin, axis=1) * vicen / nilyr      # (ncat, ny, nx)
@@ -589,8 +698,9 @@ def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
             b0 = tr.nt_bgc[0]
             nb = tr.nbtrcr
             conc = jnp.moveaxis(trcrn[:, b0:b0 + nb], 1, 0)  # (nb, ncat,...)
-            ob = (forcing.ocean_bio if forcing.ocean_bio is not None
-                  else algae.default_ocean_bio(tr, B, dtype))[:, None]
+            ob_flat = (forcing.ocean_bio if forcing.ocean_bio is not None
+                       else algae.default_ocean_bio(tr, B, dtype))
+            ob = ob_flat[:, None]
             sk = algae.skl_biogeochemistry(
                 dt, tr, conc=conc, ocean_bio=ob, aicen=aicen,
                 meltb=tres.meltb, congel=tres.congel,
@@ -639,14 +749,22 @@ def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
                           ktherm=cfg.thermo.ktherm, sss=forcing.sss,
                           phi_init=cfg.thermo.phi_init,
                           dSin0_frazil=cfg.thermo.dSin0_frazil,
-                          hfrazilmin=cfg.thermo.hfrazilmin)
+                          hfrazilmin=cfg.thermo.hfrazilmin,
+                          tr_brine=tcfg.tr_brine,
+                          ocean_bio=ob_flat if tcfg.skl_bgc else None,
+                          initbio_frac=tcfg.initbio_frac)
     aicen, vicen, trcrn = nir.aicen, nir.vicen, nir.trcrn
     frazil = nir.frazil
     fresh = fresh + nir.dfresh
     fsalt = fsalt + nir.dfsalt
+    if tcfg.skl_bgc:
+        # frazil BGC uptake from the ocean (add_new_ice_bgc,
+        # ice_zbgc.F90:988-999)
+        flux_bio = flux_bio + nir.flux_bio
 
     lm = itd.lateral_melt(dt, tr, nilyr, nslyr, aicen=aicen, vicen=vicen,
-                          vsnon=vsnon, trcrn=trcrn, rside=rside)
+                          vsnon=vsnon, trcrn=trcrn, rside=rside,
+                          tr_pond_topo=tcfg.tr_pond_topo)
     aicen, vicen, vsnon = lm.aicen, lm.vicen, lm.vsnon
     fresh = fresh + lm.fresh
     fsalt = fsalt + lm.fsalt
@@ -655,11 +773,24 @@ def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
 
     with jax.named_scope("cleanup_itd"):
         cl = itd.cleanup_itd(dt, tr, hin_max, nilyr, nslyr, aicen=aicen,
-                             vicen=vicen, vsnon=vsnon, trcrn=trcrn)
+                             vicen=vicen, vsnon=vsnon, trcrn=trcrn,
+                             tr_pond_topo=tcfg.tr_pond_topo)
     aicen, vicen, vsnon, trcrn = cl.aicen, cl.vicen, cl.vsnon, cl.trcrn
     fresh = fresh + cl.dfresh
     fsalt = fsalt + cl.dfsalt
     fhocn = fhocn + cl.dfhocn
+    # zap/lateral-melt conservation bookkeeping for the optional tracers
+    # (ice_itd.F90:1741-1750, ice_therm_itd.F90:1146-1212)
+    if tcfg.tr_pond_topo:
+        fpond_step = fpond_step - lm.dfpond - cl.dfpond
+    if tcfg.tr_aero:
+        faero_ocn = faero_ocn + lm.dfaero + cl.dfaero
+    if tcfg.skl_bgc:
+        flux_bio = flux_bio + lm.dflux_bio + cl.dflux_bio
+    if tcfg.tr_brine or tcfg.skl_bgc:
+        # zapped categories restart as "first ice" so brine/BGC re-seed
+        # (ice_itd.F90:2013-2017)
+        first_ice = jnp.where(cl.zapped, 1.0, first_ice)
 
     # land mask enforcement
     aicen = jnp.where(tmask[None], aicen, 0.0)
@@ -686,6 +817,7 @@ def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
               fcondtopn_ai=w * tres.fcondtopn)
     if cfg.forcing.formdrag:
         dg["Cw_ocn"] = Cw_ocn
+        dg["drag"] = drag_stack
     if tcfg.tr_aero:
         dg["faero_ocn"] = faero_ocn
     if tcfg.skl_bgc:
@@ -725,7 +857,9 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         state=ColState(aicen=state.aicen, vicen=state.vicen,
                        vsnon=state.vsnon, trcrn=state.trcrn,
                        first_ice=state.first_ice,
-                       strocnxT=state.strocnxT, strocnyT=state.strocnyT),
+                       strocnxT=state.strocnxT, strocnyT=state.strocnyT,
+                       scale_factor=state.scale_factor,
+                       rad_prev=state.rad_prev, rad_alb=state.rad_alb),
         forcing=forcing, sst=sst, frzmlt=frzmlt, uice_T=uice_T,
         vice_T=vice_T, tmask=tmask, ULAT=jnp.asarray(grid.ULAT),
         salinz=salinz)
@@ -777,7 +911,11 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     strocnxT, strocnyT = state.strocnxT, state.strocnyT
     divu = jnp.zeros((ny, nx), dtype)
     shear_d = jnp.zeros((ny, nx), dtype)
+    opening_d = jnp.zeros((ny, nx), dtype)
+    n_rdgn = 9 if cfg.dyn.diag_mechred else 0
+    rdgn_d = jnp.zeros((n_rdgn, ncat, ny, nx), dtype)
     dardg1dt = jnp.zeros((ny, nx), dtype)
+    dardg2dt = jnp.zeros((ny, nx), dtype)
     dvirdgdt = jnp.zeros((ny, nx), dtype)
 
     conserv_err = jnp.zeros((), dtype)
@@ -928,21 +1066,40 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
                            rdg_shear=ev.rdg_shear,
                            krdg_partic=cfg.dyn.krdg_partic,
                            krdg_redist=cfg.dyn.krdg_redist,
-                           mu_rdg=cfg.dyn.mu_rdg, ndtd=cfg.time.ndtd)
+                           mu_rdg=cfg.dyn.mu_rdg, ndtd=cfg.time.ndtd,
+                           tr_pond_topo=tcfg.tr_pond_topo,
+                           cat_diags=cfg.dyn.diag_mechred)
             aicen, vicen, vsnon, trcrn = rr.aicen, rr.vicen, rr.vsnon, rr.trcrn
             fresh = fresh + rr.fresh
             fhocn = fhocn + rr.fhocn
             dardg1dt = dardg1dt + rr.dardg1dt
+            dardg2dt = dardg2dt + rr.dardg2dt
             dvirdgdt = dvirdgdt + rr.dvirdgdt
+            opening_d = opening_d + rr.opening
+            if cfg.dyn.diag_mechred:
+                rdgn_d = rdgn_d + rr.catdiag
 
             cl2 = itd.cleanup_itd(dt_dyn, tr, hin_max, nilyr, nslyr,
                                   aicen=aicen, vicen=vicen, vsnon=vsnon,
-                                  trcrn=trcrn)
+                                  trcrn=trcrn,
+                                  tr_pond_topo=tcfg.tr_pond_topo)
             aicen, vicen, vsnon, trcrn = (cl2.aicen, cl2.vicen, cl2.vsnon,
                                           cl2.trcrn)
             fresh = fresh + cl2.dfresh
             fsalt = fsalt + cl2.dfsalt
             fhocn = fhocn + cl2.dfhocn
+            # ridge/zap tracer-to-ocean bookkeeping (ice_mechred.F90:
+            # 707-718 maero/mpond, ice_itd.F90:1741-1750)
+            if tcfg.tr_pond_topo:
+                fpond_step = fpond_step - rr.dfpond - cl2.dfpond
+            if tcfg.tr_aero:
+                dg["faero_ocn"] = (dg["faero_ocn"] + rr.faero_ocn
+                                   + cl2.dfaero)
+            if tcfg.skl_bgc:
+                dg["flux_bio"] = (dg["flux_bio"] + rr.dflux_bio
+                                  + cl2.dflux_bio)
+            if tcfg.tr_brine or tcfg.skl_bgc:
+                first_ice = jnp.where(cl2.zapped, 1.0, first_ice)
 
     if cfg.thermo.ktherm == 0:
         # zero-layer energy-placeholder consistency after all ITD ops
@@ -995,6 +1152,33 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         sst_new = sst
         frzmlt_out = forcing.frzmlt
 
+    # end-of-step radiation under the coupled ordering (step_radiation,
+    # ice_step_mod.F90:1364 runs AFTER dynamics; its outputs feed the
+    # coupler now and next step's prep_radiation rescale)
+    rad_prev_new = state.rad_prev
+    rad_alb_new = state.rad_alb
+    if cfg.coupled_radiation:
+        radf = _step_radiation(aicen, vicen, vsnon, trcrn, forcing, cfg,
+                               tr)
+        dg["alvdrn"], dg["alvdfn"] = radf.alb.alvdrn, radf.alb.alvdfn
+        dg["alidrn"], dg["alidfn"] = radf.alb.alidrn, radf.alb.alidfn
+        snowfracn = radf.snowfracn
+        albice_d = jnp.sum(aicen * radf.alb.albin, 0)
+        albsno_d = jnp.sum(aicen * radf.alb.albsn, 0)
+        albpnd_d = jnp.sum(aicen * radf.albpndn, 0)
+        # next step's rescale inputs: per-category absorption stack +
+        # ai-weighted ice-only albedos (prep_radiation reads alvdr_ai,
+        # ice_step_mod.F90:86-97)
+        rad_prev_new = jnp.concatenate(
+            [radf.absr.fswsfc[:, None], radf.absr.fswint[:, None],
+             radf.absr.fswthru[:, None], radf.Sswabsn,
+             radf.absr.Iswabs], axis=1)
+        rad_alb_new = jnp.stack(
+            [jnp.sum(aicen * radf.alb.alvdrn, 0),
+             jnp.sum(aicen * radf.alb.alvdfn, 0),
+             jnp.sum(aicen * radf.alb.alidrn, 0),
+             jnp.sum(aicen * radf.alb.alidfn, 0)])
+
     # cell-mean albedos incl. open water (coupling_prep, CICE_RunMod.F90:269)
     alvdr = jnp.sum(aicen * dg["alvdrn"], axis=0) + aggf.aice0 * ct.albocn
     alvdf = jnp.sum(aicen * dg["alvdfn"], axis=0) + aggf.aice0 * ct.albocn
@@ -1002,9 +1186,18 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
     alidf = jnp.sum(aicen * dg["alidfn"], axis=0) + aggf.aice0 * ct.albocn
     # net absorbed SW for next step's scale_factor: full 4-band sum
     # (coupling_prep, drivers/cice/CICE_RunMod.F90:376-382)
-    scale_factor = (
-        forcing.swvdr * (1.0 - alvdr) + forcing.swvdf * (1.0 - alvdf)
-        + forcing.swidr * (1.0 - alidr) + forcing.swidf * (1.0 - alidf))
+    if cfg.coupled_radiation:
+        # the reference's coupling_prep uses the ICE-ONLY ai-weighted
+        # albedos here (alvdr_ai), pairing with prep_radiation's netsw
+        scale_factor = (forcing.swvdr * (1.0 - rad_alb_new[0])
+                        + forcing.swvdf * (1.0 - rad_alb_new[1])
+                        + forcing.swidr * (1.0 - rad_alb_new[2])
+                        + forcing.swidf * (1.0 - rad_alb_new[3]))
+    else:
+        scale_factor = (
+            forcing.swvdr * (1.0 - alvdr) + forcing.swvdf * (1.0 - alvdf)
+            + forcing.swidr * (1.0 - alidr)
+            + forcing.swidf * (1.0 - alidf))
 
     # in-step failure detection: the jitted analog of the reference's
     # l_stop plumbing (ice_step_mod.F90:858-867 aborts with cell
@@ -1019,11 +1212,16 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         return global_sum(bad.astype(jnp.int32), topo)
 
     has_ice_n = aicen > ct.puny
+    # Tsfc upper bound is dtype-aware: the f32 amount<->value tracer
+    # roundtrips (shift/rebin) leave O(1e-5) roundoff above the melting
+    # point, within the repo-wide 5e-3 K f32 surface-temperature
+    # tolerance (CLAUDE.md numerical conventions; bl99/mushy docstrings)
+    Tsfc_tol = 1e-6 if dtype == jnp.float64 else 5e-3
     state_bad = (_nbad(aicen, -1e-6, 1.0 + 1e-6)
                  + _nbad(vicen, -1e-6, 100.0)
                  + _nbad(vsnon, -1e-6, 50.0)
                  + _nbad(uvel, -5.0, 5.0) + _nbad(vvel, -5.0, 5.0)
-                 + _nbad(trcrn[:, tr.nt_Tsfc], -100.0, 1e-6,
+                 + _nbad(trcrn[:, tr.nt_Tsfc], -100.0, Tsfc_tol,
                          mask=has_ice_n)
                  + global_sum(itd_bad, topo)).astype(jnp.int32)
 
@@ -1034,6 +1232,7 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         stressp=stressp, stressm=stressm,
         stress12=stress12, iceumask=iceumask, strocnxT=strocnxT,
         strocnyT=strocnyT, frzmlt=frzmlt_out, scale_factor=scale_factor,
+        rad_prev=rad_prev_new, rad_alb=rad_alb_new,
         sst=sst_new, mlt_onset=mlt_onset, frz_onset=frz_onset)
 
     diag = StepDiag(
@@ -1043,7 +1242,8 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         strairxT=strairxT, strairyT=strairyT,
         meltt=meltt, melts=melts, meltb=meltb, meltl=meltl, congel=congel,
         snoice=snoice, frazil=frazil, frzmlt=frzmlt_out,
-        dardg1dt=dardg1dt, dvirdgdt=dvirdgdt, divu=divu, shear=shear_d,
+        dardg1dt=dardg1dt, dardg2dt=dardg2dt, dvirdgdt=dvirdgdt,
+        divu=divu, shear=shear_d,
         alvdr=alvdr, alvdf=alvdf, alidr=alidr, alidf=alidf,
         Tsfc=aggf.trcr[tr.nt_Tsfc],
         therm_converged=sc["therm_converged"],
@@ -1077,7 +1277,11 @@ def step(state: State, forcing: Forcing, grid: Grid, cfg: ModelConfig,
         PP_net=(dg["PP_net"] if tcfg.skl_bgc
                 else jnp.zeros((ny, nx), dtype)),
         grow_net=(dg["grow_net"] if tcfg.skl_bgc
-                  else jnp.zeros((ny, nx), dtype)))
+                  else jnp.zeros((ny, nx), dtype)),
+        opening=opening_d,
+        drag=(dg["drag"] if cfg.forcing.formdrag
+              else jnp.zeros((0, ny, nx), dtype)),
+        rdgn=rdgn_d)
     return new_state, diag
 
 

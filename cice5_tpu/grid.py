@@ -141,8 +141,25 @@ def _finish_grid(gcfg: GridConfig, ulat, ulon, htn, hte, angle, hm,
     cym = -(1.5 * sh(hte, -1, 0) - 0.5 * hte)
     cxm = -(1.5 * sh(htn, 0, -1) - 0.5 * htn)
 
-    # U mask from the 4 surrounding T cells (ice_grid.F90:1589-1592)
-    uvm = np.minimum.reduce([hm, sh(hm, 1, 0), sh(hm, 0, 1), sh(hm, 1, 1)])
+    # U mask from the 4 surrounding T cells (ice_grid.F90:1589-1592).
+    # Tripole north seam: the row-above ghost is the FOLD image
+    # hm(nx-1-i, ny-1) (U-fold center mapping, mpi/ice_boundary.F90:1494;
+    # the reference's makemask runs after bound() fills tripole ghosts).
+    # With a replicate ghost the top-row umask violates the fold
+    # self-conjugacy umask(i) == umask(nx-2-i) wherever land meets the
+    # seam, which makes the seam ill-posed: the per-subcycle EVP re-
+    # symmetrizes the seam row every exchange and hides it, while the
+    # chunked (margin-decay) EVP evolves the inconsistency — they then
+    # disagree at the seam next to land.
+    hm_n = sh(hm, 0, 1)
+    hm_ne = sh(hm, 1, 1)
+    if gcfg.ns_boundary == "tripole":
+        fold = hm[-1, ::-1]                     # ghost(i) = hm(nx-1-i)
+        hm_n = hm_n.copy()
+        hm_ne = hm_ne.copy()
+        hm_n[-1, :] = fold
+        hm_ne[-1, :] = np.roll(fold, -1)        # ghost(i+1)
+    uvm = np.minimum.reduce([hm, sh(hm, 1, 0), hm_n, hm_ne])
     tmask = hm > 0.5
     umask = uvm > 0.5
 

@@ -84,6 +84,7 @@ STANDARD_FIELDS = [
     HistField("strairx", "N/m^2", "atm/ice stress (x)"),
     HistField("strocnx", "N/m^2", "ocean/ice stress (x)"),
     HistField("dardg1dt", "1/s", "ice area ridging rate"),
+    HistField("dardg2dt", "1/s", "ridge area formation rate"),
     HistField("dvirdgdt", "m/s", "ice volume ridging rate"),
     HistField("frzmlt", "W/m^2", "freeze/melt potential",
               instantaneous=True),
@@ -219,6 +220,12 @@ CAT_FIELDS = [
     HistField("ardgn", "1", "ridged ice area fraction, categories",
               dims="3Dc"),
     HistField("vrdgn", "m", "ridged ice volume, categories", dims="3Dc"),
+    # effective conductivity of the top ice layer (f_keffn_top; declared
+    # in ice_flux.F90:235 — never filled in the 5.1.2 reference; here
+    # derived as 2*k(T1,S1)/hilyr from the MU71 conductivity)
+    HistField("keffn_top", "W/m^2/K",
+              "effective top-layer thermal conductivity, categories",
+              dims="3Dc"),
 ]
 
 # vertical profile fields (a4Di/a4Ds classes; f_Tinz/f_Sinz/f_Tsnz,
@@ -239,21 +246,73 @@ MECHRED_FIELDS = [
     HistField("opening", "%/day", "lead opening rate"),
 ]
 
-# melt-pond field set (ice_history_pond.F90)
+# melt-pond field set (ice_history_pond.F90: f_apond/f_apond_ai/
+# f_hpond/.../f_apeff/f_apeffn; plain = per ice area, _ai = per cell)
 POND_FIELDS = [
-    HistField("apond", "1", "melt pond fraction of grid cell"),
-    HistField("hpond", "m", "mean melt pond depth"),
-    HistField("ipond", "m", "mean pond ice lid thickness"),
+    HistField("apond", "1", "melt pond fraction of sea ice"),
+    HistField("apond_ai", "1", "melt pond fraction of grid cell"),
+    HistField("hpond", "m", "mean melt pond depth (per ice area)"),
+    HistField("hpond_ai", "m", "mean melt pond depth (per cell)"),
+    HistField("ipond", "m", "mean pond ice lid thickness (per ice area)"),
+    HistField("ipond_ai", "m", "mean pond ice lid thickness (per cell)"),
+    HistField("apeff", "1", "radiation-effective pond fraction of ice"),
+    HistField("apeff_ai", "1", "radiation-effective pond fraction of cell"),
+    HistField("apeffn", "1", "radiation-effective pond fraction, "
+              "categories", dims="3Dc"),
 ]
 
-# form-drag field set (ice_history_drag.F90)
+# form-drag field set (ice_history_drag.F90 f_drag/f_Cdn_atm/f_Cdn_ocn:
+# total + skin/floe-edge/pond/ridge components and the sail/keel geometry)
 DRAG_FIELDS = [
     HistField("Cdn_atm", "1", "atmospheric neutral drag coefficient",
               instantaneous=True),
     HistField("Cdn_ocn", "1", "oceanic neutral drag coefficient",
               instantaneous=True),
+    HistField("Cdn_atm_skin", "1", "atm drag, skin component",
+              instantaneous=True),
+    HistField("Cdn_atm_floe", "1", "atm drag, floe-edge component",
+              instantaneous=True),
+    HistField("Cdn_atm_pond", "1", "atm drag, pond-edge component",
+              instantaneous=True),
+    HistField("Cdn_atm_rdg", "1", "atm drag, ridge component",
+              instantaneous=True),
+    HistField("Cdn_ocn_skin", "1", "ocean drag, skin component",
+              instantaneous=True),
+    HistField("Cdn_ocn_floe", "1", "ocean drag, floe-edge component",
+              instantaneous=True),
+    HistField("Cdn_ocn_keel", "1", "ocean drag, keel component",
+              instantaneous=True),
     HistField("hfreebd", "m", "mean freeboard", instantaneous=True),
+    HistField("hdraft", "m", "mean draft", instantaneous=True),
+    HistField("hridge", "m", "mean ridge sail height", instantaneous=True),
+    HistField("distrdg", "m", "mean ridge spacing", instantaneous=True),
     HistField("hkeel", "m", "mean keel depth", instantaneous=True),
+    HistField("dkeel", "m", "mean keel spacing", instantaneous=True),
+    HistField("lfloe", "m", "mean floe length", instantaneous=True),
+    HistField("dfloe", "m", "mean floe spacing", instantaneous=True),
+]
+
+# per-category mechanical-redistribution diagnostics (3Dc; gated on
+# cfg.dyn.diag_mechred — f_dardg1ndt/f_dardg2ndt/f_dvirdgndt/f_araftn/
+# f_vraftn/f_aparticn/f_krdgn/f_aredistn/f_vredistn,
+# ice_history_mechred.F90). Order matches driver.step.RDGN_KEYS.
+MECHRED_CAT_FIELDS = [
+    HistField("dardg1ndt", "1/s", "ridging area rate, categories",
+              dims="3Dc"),
+    HistField("dardg2ndt", "1/s", "ridge area formation rate, categories",
+              dims="3Dc"),
+    HistField("dvirdgndt", "m/s", "ridging volume rate, categories",
+              dims="3Dc"),
+    HistField("araftn", "1", "rafted ice area, categories", dims="3Dc"),
+    HistField("vraftn", "m", "rafted ice volume, categories", dims="3Dc"),
+    HistField("aparticn", "1", "ridging participation function, categories",
+              dims="3Dc"),
+    HistField("krdgn", "1", "mean ridge thickness over thickness of "
+              "ridging ice, categories", dims="3Dc"),
+    HistField("aredistn", "1", "ridge area redistribution function, "
+              "categories", dims="3Dc"),
+    HistField("vredistn", "m", "ridge volume redistribution function, "
+              "categories", dims="3Dc"),
 ]
 
 # BGC field set (ice_history_bgc.F90)
@@ -261,10 +320,158 @@ BGC_FIELDS = [
     HistField("PP_net", "mg C/m^2/s", "net primary production"),
     HistField("grow_net", "1/s", "net specific algal growth"),
     HistField("fbri", "1", "brine height ratio"),
+    HistField("hbri", "m", "brine volume per grid area (f_hbri)"),
+]
+
+# brine vertical structure on the bio grid (nblyr+2 levels) — the a3Db
+# accumulation class (ice_history_shared.F90:137-139; f_bTin/f_bphi,
+# ice_history_bgc.F90)
+BGC_3DB_FIELDS = [
+    HistField("bTizn", "C", "ice internal temperature on the bio grid",
+              dims="3Db"),
+    HistField("bphizn", "1", "porosity on the bio grid", dims="3Db"),
 ]
 
 
+def aero_fields(n_aero: int) -> list:
+    """Aerosol history fields (ice_history_bgc.F90 f_faero_atm/f_faero_ocn
+    /f_aero/f_aeron): per-species deposition + ocean fluxes, cell-mean
+    mass concentrations in the 4 layers, and per-category (3Dc) snow/ice
+    loads."""
+    out = []
+    for it in range(n_aero):
+        s = f"{it + 1:03d}"
+        out += [
+            HistField(f"faero_atm{s}", "kg/m^2/s",
+                      f"aerosol {it + 1} deposition rate",
+                      instantaneous=True),
+            HistField(f"faero_ocn{s}", "kg/m^2/s",
+                      f"aerosol {it + 1} flux to ocean"),
+            HistField(f"aerosnossl{s}", "kg/kg",
+                      f"aerosol {it + 1} concentration, snow surface"),
+            HistField(f"aerosnoint{s}", "kg/kg",
+                      f"aerosol {it + 1} concentration, snow interior"),
+            HistField(f"aeroicessl{s}", "kg/kg",
+                      f"aerosol {it + 1} concentration, ice surface"),
+            HistField(f"aeroiceint{s}", "kg/kg",
+                      f"aerosol {it + 1} concentration, ice interior"),
+            HistField(f"aerosnon{s}", "kg/m^2",
+                      f"aerosol {it + 1} snow mass, categories",
+                      dims="3Dc"),
+            HistField(f"aeroicen{s}", "kg/m^2",
+                      f"aerosol {it + 1} ice mass, categories",
+                      dims="3Dc"),
+        ]
+    return out
+
+
+# ocean-mixed-layer concentration fields per skl tracer (f_bgc_Nit_ml,
+# f_bgc_Am_ml, f_bgc_Sil_ml, f_bgc_DMSP_ml, f_bgc_DMS_ml)
+_ML_NAMES = {"NO": "Nit_ml", "NH": "Am_ml", "Sil": "Sil_ml",
+             "DMSPd": "DMSP_ml", "DMS": "DMS_ml", "N": "N_ml"}
+# ocean-flux fields per skl tracer (f_fNO/f_fNO_ai/f_fNH/.../f_fN/f_fSil)
+_FLUX_NAMES = {"N": "fN", "NO": "fNO", "NH": "fNH", "Sil": "fSil"}
+
+
+def skl_bgc_fields(bgc_names) -> list:
+    """Skeletal-BGC history fields (ice_history_bgc.F90): skeletal-layer
+    concentrations (f_bgc_*_sk), mixed-layer concentrations (f_bgc_*_ml),
+    and ice-ocean fluxes (f_f* / f_f*_ai)."""
+    out = []
+    for nm in bgc_names:
+        out.append(HistField(f"bgc_{nm}_sk", "mmol/m^3",
+                             f"skeletal-layer {nm} concentration"))
+        if nm in _ML_NAMES:
+            out.append(HistField(f"bgc_{_ML_NAMES[nm]}", "mmol/m^3",
+                                 f"mixed-layer {nm} concentration",
+                                 instantaneous=True))
+        if nm in _FLUX_NAMES:
+            f = _FLUX_NAMES[nm]
+            out.append(HistField(f, "mmol/m^2/s",
+                                 f"{nm} flux ice to ocean"))
+            out.append(HistField(f"{f}_ai", "mmol/m^2/s",
+                                 f"{nm} flux ice to ocean (*aice)"))
+    return out
+
+
 MAX_NSTRM = 5     # ice_domain_size.F90:50
+
+# f_* flags that select static grid/coordinate variables — these are
+# written unconditionally by write_netcdf/write_coord_grid_vars, so the
+# flags are recognized but expand to no accumulation field
+# (ice_history_shared.F90:186-210 grid-variable block)
+GRID_FLAGS = frozenset((
+    "f_tmask", "f_blkmask", "f_tarea", "f_uarea", "f_dxt", "f_dyt",
+    "f_dxu", "f_dyu", "f_HTN", "f_HTE", "f_ANGLE", "f_ANGLET",
+    "f_bounds", "f_NCAT", "f_VGRDi", "f_VGRDs", "f_VGRDb"))
+
+# flags whose catalog names differ from the f_ stem, or that expand to a
+# field family (everything else maps by stripping the f_ prefix)
+_FLAG_RENAME = {
+    "f_PPnet": ("PP_net",), "f_grownet": ("grow_net",),
+    "f_bTin": ("bTizn",), "f_bphi": ("bphizn",),
+    "f_Cdn_atm": ("Cdn_atm", "Cdn_atm_skin", "Cdn_atm_floe",
+                  "Cdn_atm_pond", "Cdn_atm_rdg"),
+    "f_Cdn_ocn": ("Cdn_ocn", "Cdn_ocn_skin", "Cdn_ocn_floe",
+                  "Cdn_ocn_keel"),
+    "f_drag": ("hfreebd", "hdraft", "hridge", "distrdg", "hkeel",
+               "dkeel", "lfloe", "dfloe"),
+}
+
+
+def fields_for_icefields(icefields: dict, cfg=None, tr=None) -> tuple:
+    """Map parsed icefields_nml `f_*` selections (namelist.config_from_
+    ice_in run_controls['icefields']) onto catalog HistFields.
+
+    A flag is selected when its value is not 'x' (the reference's
+    per-stream frequency letters, ice_history_shared.F90:186-358; 'md'
+    etc. select streams — stream assignment is the caller's choice here).
+    Returns (fields, unmapped): the selected HistField list from
+    available_fields(cfg, tr) (catalog order, deduplicated), and any
+    selected flags with no catalog backing for this configuration (e.g.
+    f_bgc_* with skl_bgc off, f_aparticn without cfg.dyn.diag_mechred)."""
+    # the namelist parser lowercases entry names and strips the f_
+    # prefix; match case-insensitively against the catalog
+    catalog = {f.name.lower(): f for f in available_fields(cfg, tr)}
+    grid_lc = {g.lower() for g in GRID_FLAGS}
+    rename_lc = {k.lower(): v for k, v in _FLAG_RENAME.items()}
+    per_species = {"f_aero": ("aerosnossl{s}", "aerosnoint{s}",
+                              "aeroicessl{s}", "aeroiceint{s}"),
+                   "f_aeron": ("aerosnon{s}", "aeroicen{s}"),
+                   "f_faero_atm": ("faero_atm{s}",),
+                   "f_faero_ocn": ("faero_ocn{s}",)}
+    na = tr.n_aero if tr is not None else 0
+    want: list = []
+    unmapped: list = []
+    for flag, val in icefields.items():
+        flag = flag.lower()
+        if not flag.startswith("f_"):
+            flag = "f_" + flag
+        if isinstance(val, (list, tuple)):
+            val = val[0] if val else "x"
+        if str(val).strip().lower().strip("'\"") in ("x", ""):
+            continue
+        if flag in grid_lc:
+            continue
+        if flag in per_species:
+            names = [t.format(s=f"{k + 1:03d}") for t in per_species[flag]
+                     for k in range(na)]
+        elif flag in rename_lc:
+            names = list(rename_lc[flag])
+        else:
+            names = [flag[2:]]
+        hit = [n.lower() for n in names if n.lower() in catalog]
+        if hit:
+            want.extend(hit)
+        else:
+            unmapped.append(flag)
+    seen = set()
+    fields = []
+    for n in want:
+        if n not in seen:
+            seen.add(n)
+            fields.append(catalog[n])
+    return fields, unmapped
 
 
 def available_fields(cfg=None, tr=None, include_3d=True) -> list:
@@ -286,6 +493,8 @@ def available_fields(cfg=None, tr=None, include_3d=True) -> list:
         fields += POND_FIELDS
     if tr is not None and tr.nt_fbri >= 0:
         fields += BGC_FIELDS
+    if tr is not None and tr.nbtrcr:
+        fields += skl_bgc_fields(tr.bgc_names)
     if include_3d and tr is not None:
         for f in CAT_FIELDS:
             if f.name in ("apondn", "hpondn") and not has_pond:
@@ -297,6 +506,18 @@ def available_fields(cfg=None, tr=None, include_3d=True) -> list:
             fields.append(f)
         fields += [f for f in VERT_FIELDS
                    if cfg is None or f.dims != "4Ds" or cfg.nslyr >= 1]
+        if tr.nt_fbri >= 0:
+            fields += BGC_3DB_FIELDS
+    if tr is not None and tr.n_aero:
+        fields += aero_fields(tr.n_aero)
+    if cfg is not None and getattr(cfg.dyn, "diag_mechred", False) \
+            and has_lvl:
+        fields += MECHRED_CAT_FIELDS
+    if cfg is not None and getattr(cfg.forcing, "formdrag", False):
+        fields += [f for f in DRAG_FIELDS if f.name not in
+                   {g.name for g in fields}]
+    if not include_3d:
+        fields = [f for f in fields if f.dims == "2D"]
     return fields
 
 
@@ -481,12 +702,15 @@ def write_netcdf(stream: HistoryStream, grid, info, path: str,
             f.createDimension("nkice", data["4Di"].shape[1])
         if "4Ds" in data:
             f.createDimension("nksnow", data["4Ds"].shape[1])
+        if "3Db" in data:
+            f.createDimension("nkbio", data["3Db"].shape[1])
         tv = f.createVariable("time", "d", ("time",))
         tv.units = "days since 0001-01-01 00:00:00"
         tv[0] = info.time / 86400.0
         write_coord_grid_vars(f, grid)
         dimmap = {"2D": ("time", "nj", "ni"),
                   "3Dc": ("time", "nc", "nj", "ni"),
+                  "3Db": ("time", "nkbio", "nj", "ni"),
                   "4Di": ("time", "nkice", "nc", "nj", "ni"),
                   "4Ds": ("time", "nksnow", "nc", "nj", "ni")}
         for dims, fl in stream.groups.items():
@@ -540,6 +764,13 @@ def diag_to_values(diag, state, grid, tr=None, forcing=None,
                       + forcing.swvdf * diag.alvdf
                       + forcing.swidr * diag.alidr
                       + forcing.swidf * diag.alidf)})
+    stacks = {}
+    if diag.drag.shape[0]:
+        from cice5_tpu.driver.step import DRAG_KEYS
+        stacks.update({k: diag.drag[i] for i, k in enumerate(DRAG_KEYS)})
+    if diag.rdgn.shape[0]:
+        from cice5_tpu.driver.step import RDGN_KEYS
+        stacks.update({k: diag.rdgn[i] for i, k in enumerate(RDGN_KEYS)})
     eap = {}
     if getattr(state, "a11n", None) is not None:
         eap = {"a11": state.a11n[0], "a12": state.a12n[0],
@@ -547,7 +778,8 @@ def diag_to_values(diag, state, grid, tr=None, forcing=None,
                "yieldstress11": diag.yieldstress11,
                "yieldstress12": diag.yieldstress12,
                "yieldstress22": diag.yieldstress22}
-    return extra | eap | {
+    return extra | eap | stacks | {
+        "opening": diag.opening * secday * 100.0,
         "aice": aice, "hi": diag.vice, "hs": diag.vsno, "Tsfc": diag.Tsfc,
         "uvel": state.uvel, "vvel": state.vvel,
         "aisnap": aice, "hisnap": diag.vice,
@@ -569,7 +801,8 @@ def diag_to_values(diag, state, grid, tr=None, forcing=None,
         "strintx": diag.strintx, "strinty": diag.strinty,
         "strtltx": diag.strtltx, "strtlty": diag.strtlty,
         "strcorx": diag.strcorx, "strcory": diag.strcory,
-        "dardg1dt": diag.dardg1dt, "dvirdgdt": diag.dvirdgdt,
+        "dardg1dt": diag.dardg1dt, "dardg2dt": diag.dardg2dt,
+        "dvirdgdt": diag.dvirdgdt,
         "daidtt": diag.daidtt * secday * 100.0,
         "dvidtt": diag.dvidtt * m_to_cmday,
         "daidtd": diag.daidtd * secday * 100.0,
@@ -609,7 +842,8 @@ def diag_to_values(diag, state, grid, tr=None, forcing=None,
         "icepresent": (aice > ct.puny).astype(aice.dtype),
         "mlt_onset": state.mlt_onset, "frz_onset": state.frz_onset,
     } | _principal_stress(state, diag) | _tracer_values(state, tr) \
-      | _category_values(diag, state, tr, nilyr, nslyr)
+      | _category_values(diag, state, tr, nilyr, nslyr) \
+      | _bgc_aero_values(diag, state, tr, forcing, nilyr)
 
 
 def _principal_stress(state, diag) -> dict:
@@ -670,6 +904,107 @@ def _category_values(diag, state, tr, nilyr, nslyr) -> dict:
     if tr.nt_alvl >= 0:
         out["ardgn"] = (1.0 - trcrn[:, tr.nt_alvl]) * state.aicen
         out["vrdgn"] = (1.0 - trcrn[:, tr.nt_vlvl]) * state.vicen
+    # effective top-layer conductivity (f_keffn_top; the ice_flux.F90:235
+    # array — never filled in the 5.1.2 reference — here derived from the
+    # MU71 conductivity k = 2.03 + 0.13*S1/T1 of the top ice layer:
+    # keff = k/(hilyr/2), the surface<->layer-1-midpoint conductance)
+    hin = jnp.where(state.aicen > ct.puny,
+                    state.vicen / jnp.maximum(state.aicen, ct.puny), 0.0)
+    S1 = trcrn[:, tr.nt_sice]
+    T1 = thshared.calculate_Tin_from_qin(trcrn[:, tr.nt_qice],
+                                         -S1 * ct.depressT)
+    kice = 2.03 + 0.13 * S1 / jnp.minimum(T1, -ct.puny)
+    out["keffn_top"] = jnp.where(
+        state.aicen > ct.puny,
+        2.0 * jnp.maximum(kice, 0.0) * nilyr / jnp.maximum(hin, ct.puny),
+        0.0)
+    return out
+
+
+def _bgc_aero_values(diag, state, tr, forcing, nilyr) -> dict:
+    """Aerosol / skeletal-BGC / brine-structure history values
+    (ice_history_bgc.F90 accumulation blocks: f_faero_atm/f_faero_ocn/
+    f_aero/f_aeron, f_bgc_*_sk/_ml, f_f*/_ai, f_bTin/f_bphi, f_hbri)."""
+    if tr is None:
+        return {}
+    import jax.numpy as jnp
+    out = {}
+    aicen, vicen, vsnon = state.aicen, state.vicen, state.vsnon
+    trcrn = state.trcrn
+    aice = jnp.sum(aicen, axis=0)
+    has_ice = aice > ct.puny
+    safe_a = jnp.maximum(aice, ct.puny)
+
+    if tr.n_aero:
+        from cice5_tpu.models.tracers.aerosol import faero_default
+        fa = forcing.faero_atm if (forcing is not None
+                                   and forcing.faero_atm is not None) \
+            else faero_default(tr.n_aero, aice.shape, aice.dtype)
+        vsno = jnp.sum(vsnon, axis=0)
+        vice = jnp.sum(vicen, axis=0)
+        sno_safe = jnp.maximum(vsno, ct.puny)
+        ice_safe = jnp.maximum(vice, ct.puny)
+        for it in range(tr.n_aero):
+            s = f"{it + 1:03d}"
+            a0 = tr.nt_aero + 4 * it
+            out[f"faero_atm{s}"] = fa[it]
+            out[f"faero_ocn{s}"] = diag.faero_ocn[it]
+            # mass concentrations (kg aerosol / kg medium), cell means
+            out[f"aerosnossl{s}"] = jnp.sum(vsnon * trcrn[:, a0], 0) \
+                / sno_safe / ct.rhos
+            out[f"aerosnoint{s}"] = jnp.sum(vsnon * trcrn[:, a0 + 1], 0) \
+                / sno_safe / ct.rhos
+            out[f"aeroicessl{s}"] = jnp.sum(vicen * trcrn[:, a0 + 2], 0) \
+                / ice_safe / ct.rhoi
+            out[f"aeroiceint{s}"] = jnp.sum(vicen * trcrn[:, a0 + 3], 0) \
+                / ice_safe / ct.rhoi
+            # per-category loads (f_aeron)
+            out[f"aerosnon{s}"] = vsnon * (trcrn[:, a0] + trcrn[:, a0 + 1])
+            out[f"aeroicen{s}"] = vicen * (trcrn[:, a0 + 2]
+                                           + trcrn[:, a0 + 3])
+
+    if tr.nbtrcr:
+        from cice5_tpu.models.tracers.algae import default_ocean_bio
+        from cice5_tpu.models.tracers.brine import SK_L
+        ob = forcing.ocean_bio if (forcing is not None
+                                   and forcing.ocean_bio is not None) \
+            else default_ocean_bio(tr, aice.shape, aice.dtype)
+        for k, nm in enumerate(tr.bgc_names):
+            slot = tr.nt_bgc[k]
+            out[f"bgc_{nm}_sk"] = jnp.sum(aicen * trcrn[:, slot], 0) \
+                / safe_a / SK_L
+            if nm in _ML_NAMES:
+                out[f"bgc_{_ML_NAMES[nm]}"] = ob[k]
+            if nm in _FLUX_NAMES:
+                f = _FLUX_NAMES[nm]
+                fb = diag.flux_bio[k]
+                out[f"{f}_ai"] = fb
+                out[f] = jnp.where(has_ice, fb / safe_a, 0.0)
+
+    if tr.nt_fbri >= 0:
+        out["hbri"] = jnp.sum(trcrn[:, tr.nt_fbri] * vicen, 0)
+        if nilyr is not None and forcing is not None:
+            # brine vertical structure on the bio grid (f_bTin/f_bphi):
+            # per-category microstructure, area-weighted to a (nblyr+2,
+            # ny, nx) profile (a3Db class)
+            from cice5_tpu.models.tracers import brine
+            zSin = jnp.moveaxis(
+                trcrn[:, tr.nt_sice:tr.nt_sice + nilyr], 1, -1)
+            zqin = jnp.moveaxis(
+                trcrn[:, tr.nt_qice:tr.nt_qice + nilyr], 1, -1)
+            hin = jnp.where(aicen > ct.puny,
+                            vicen / jnp.maximum(aicen, ct.puny), 0.0)
+            hbr = trcrn[:, tr.nt_fbri] * hin
+            ms = brine.compute_microS_mushy(
+                zSin, zqin, hin, hbr,
+                jnp.broadcast_to(forcing.sss, aicen.shape),
+                jnp.broadcast_to(state.sst, aicen.shape), nblyr=nilyr)
+            w = aicen[..., None]
+            wsum = jnp.maximum(jnp.sum(w, axis=0), ct.puny)
+            out["bTizn"] = jnp.moveaxis(
+                jnp.sum(ms.bTin * w, axis=0) / wsum, -1, 0)
+            out["bphizn"] = jnp.moveaxis(
+                jnp.sum(ms.bphin * w, axis=0) / wsum, -1, 0)
     return out
 
 
@@ -699,12 +1034,37 @@ def _tracer_values(state, tr) -> dict:
         out["ardg"] = jnp.sum((1.0 - state.trcrn[:, tr.nt_alvl]) * aicen, 0)
         out["vrdg"] = jnp.sum((1.0 - state.trcrn[:, tr.nt_vlvl]) * vicen, 0)
     if tr.nt_apnd >= 0:
+        # per-category pond fraction of category area: apnd (cesm/topo)
+        # or apnd*alvl (level-ice ponds, where apnd is a fraction of the
+        # level-ice area — inferred from the registry dependency chain)
+        from cice5_tpu.state import DEP_TRCR
         ap = state.trcrn[:, tr.nt_apnd]
-        out["apond"] = jnp.sum(ap * aicen, 0)
-        out["hpond"] = jnp.sum(ap * state.trcrn[:, tr.nt_hpnd] * aicen, 0)
+        if tr.nt_alvl >= 0 and \
+                tr.depend[tr.nt_apnd] == DEP_TRCR + tr.nt_alvl:
+            ap = ap * state.trcrn[:, tr.nt_alvl]
+        safe_ai = jnp.maximum(aice, ct.puny)
+        out["apond_ai"] = jnp.sum(ap * aicen, 0)
+        out["apond"] = out["apond_ai"] / safe_ai
+        out["hpond_ai"] = jnp.sum(ap * state.trcrn[:, tr.nt_hpnd]
+                                  * aicen, 0)
+        out["hpond"] = out["hpond_ai"] / safe_ai
+        # radiation-effective pond fraction (f_apeff/f_apeffn): ponds
+        # under a frozen lid do not darken the surface (run_dEdd pond
+        # setup, ice_shortwave.F90:1300-1420; lid gate approximated as
+        # ipnd <= puny)
+        apeffn = ap
         if tr.nt_ipnd >= 0:
-            out["ipond"] = jnp.sum(
+            out["ipond_ai"] = jnp.sum(
                 ap * state.trcrn[:, tr.nt_ipnd] * aicen, 0)
+            out["ipond"] = out["ipond_ai"] / safe_ai
+            apeffn = ap * (state.trcrn[:, tr.nt_ipnd]
+                           <= ct.puny).astype(ap.dtype)
+        out["apeff_ai"] = jnp.sum(apeffn * aicen, 0)
+        out["apeff"] = out["apeff_ai"] / safe_ai
+        out["apeffn"] = apeffn
     if tr.nt_fbri >= 0:
-        out["fbri"] = jnp.sum(state.trcrn[:, tr.nt_fbri] * vicen, 0)
+        # volume-weighted mean brine ratio (dimensionless, matching the
+        # declared units; the brine VOLUME is the separate f_hbri field)
+        out["fbri"] = jnp.sum(state.trcrn[:, tr.nt_fbri] * vicen, 0) \
+            / jnp.maximum(vice, ct.puny)
     return out

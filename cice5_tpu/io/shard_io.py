@@ -167,6 +167,8 @@ def assemble_history(dirpath: str, grid, out_path: str,
             f.createDimension("nkice", bufs["4Di"].shape[1])
         if "4Ds" in bufs:
             f.createDimension("nksnow", bufs["4Ds"].shape[1])
+        if "3Db" in bufs:
+            f.createDimension("nkbio", bufs["3Db"].shape[1])
         tv = f.createVariable("time", "d", ("time",))
         tv.units = "days since 0001-01-01 00:00:00"
         tv[0] = meta["time"] / 86400.0
@@ -174,6 +176,7 @@ def assemble_history(dirpath: str, grid, out_path: str,
         write_coord_grid_vars(f, grid)
         dimmap = {"2D": ("time", "nj", "ni"),
                   "3Dc": ("time", "nc", "nj", "ni"),
+                  "3Db": ("time", "nkbio", "nj", "ni"),
                   "4Di": ("time", "nkice", "nc", "nj", "ni"),
                   "4Ds": ("time", "nksnow", "nc", "nj", "ni")}
         for dims, fl in meta["groups"].items():

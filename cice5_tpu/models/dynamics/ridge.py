@@ -103,9 +103,37 @@ class RidgeResult(NamedTuple):
     opening: jnp.ndarray
     fresh: jnp.ndarray      # snow mass melted into ocean (kg/m^2/s)
     fhocn: jnp.ndarray      # heat flux to melt that snow (W/m^2)
+    faero_ocn: jnp.ndarray  # (n_aero, *B) aerosol in the unretained snow
+                            # fraction, to ocean (kg/m^2/s;
+                            # ice_mechred.F90:1704-1711 maero)
+    dfpond: jnp.ndarray     # topo-pond water lost with ridged area (m;
+                            # ice_mechred.F90:1713-1717 mpond -> fpond)
+    dflux_bio: jnp.ndarray  # (nbtrcr, *B) skeletal-BGC mass crushed out
+                            # by area reduction, to ocean (mmol/m^2/s) —
+                            # conservation completion: the reference's
+                            # area-rooted tracer redistribution loses
+                            # (ardg1-ardg2)/a * amount without any flux
+                            # (ice_mechred.F90:1770-1788)
+    catdiag: jnp.ndarray    # per-category mechred history diagnostics,
+                            # (9, ncat, *B) when cat_diags else (0,...):
+                            # [dardg1ndt, dardg2ndt, dvirdgndt, araftn,
+                            #  vraftn, aparticn, krdgn, aredistn,
+                            #  vredistn] (ice_mechred.F90:660-700
+                            #  ardg1nn/araftn, :1260-1280 aparticn/krdgn,
+                            #  :1921-1930 aredistn/vredistn)
     asum_err: jnp.ndarray   # |asum - 1| after final iteration
     niter: jnp.ndarray      # iterations taken (ice_mechred.F90 niter;
     # normally 1-2 — perf diagnostic for the while-loop cost)
+
+
+def _phi_sk(tr: TracerRegistry) -> float:
+    """Porosity factor converting skeletal-BGC slot amounts (conc*sk_l
+    per unit area) to physical mass, the flux_bio unit convention
+    (ice_algae.F90:464)."""
+    if tr.nbtrcr == 0:
+        return 1.0
+    from cice5_tpu.models.tracers.brine import PHI_SK
+    return PHI_SK
 
 
 def _chain_root_and_parents(tr: TracerRegistry, it):
@@ -120,7 +148,7 @@ def _chain_root_and_parents(tr: TracerRegistry, it):
 def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
               vicen, vsnon, trcrn, aice0, rdg_conv, rdg_shear,
               krdg_partic=1, krdg_redist=1, mu_rdg=4.0,
-              ndtd=1) -> RidgeResult:
+              ndtd=1, tr_pond_topo=False, cat_diags=False) -> RidgeResult:
     """Full ridging driver (ice_mechred.F90:101-757 ridge_ice).
 
     The iteration works entirely in conserved-AMOUNT space: ``atrcrn =
@@ -138,6 +166,7 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
     ncat = aicen.shape[0]
     B = aicen.shape[1:]
     dtype = aicen.dtype
+    na = tr.n_aero
 
     # static per-slot receiver dependency-class masks: exactly one of
     # (area, ice-volume, snow-volume) per slot, zero for tracers lost in
@@ -193,6 +222,10 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
         aopen: jnp.ndarray
         msnow_mlt: jnp.ndarray
         esnow_mlt: jnp.ndarray
+        maero: jnp.ndarray       # (n_aero, *B) aerosol mass to ocean
+        mpond: jnp.ndarray       # (*B) topo-pond water volume to ocean
+        mbio: jnp.ndarray        # (nbtrcr, *B) BGC amount to ocean
+        catdiag: jnp.ndarray     # (9 or 0, ncat, *B) per-cat diagnostics
 
     def cond(c: Carry):
         return (c.niter < NITERMAX) & jnp.any(~c.done)
@@ -233,6 +266,9 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
         virdg_d = c.virdg
         msnow = c.msnow_mlt
         esnow = c.esnow_mlt
+        maero = c.maero
+        mpond = c.mpond
+        mbio = c.mbio
 
         # accumulate all donor/receiver updates in Python lists and apply
         # them as ONE stacked add per array: .at[n, it].add chains made
@@ -245,6 +281,15 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
 
         def acc(lst, i, val):
             lst[i] = val if lst[i] is None else lst[i] + val
+
+        if cat_diags:
+            cd_ardg1 = [None] * ncat
+            cd_ardg2 = [None] * ncat
+            cd_virdg = [None] * ncat
+            cd_araft = [None] * ncat
+            cd_vraft = [None] * ncat
+            cd_reda = [None] * ncat
+            cd_redv = [None] * ncat
 
         qs0, qs1 = tr.nt_qsno, tr.nt_qsno + nslyr
         for n in range(ncat):
@@ -270,6 +315,38 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
             # vsrdgn*qsno = afrac * (vsnon*qsno) = afrac * atrcrn[qsno]
             esnow = esnow + (1.0 - FSNOWRDG) / nslyr * afrac \
                 * jnp.sum(atrcrn[n, qs0:qs1], axis=0)
+            # aerosol in the unretained snow fraction goes to the ocean:
+            # vsrdgn*(1-fsnowrdg)*conc == afrac*(1-FSNOWRDG)*amount
+            # (ice_mechred.F90:1704-1711)
+            if na:
+                a0 = tr.nt_aero
+                sno_amt = jnp.stack(
+                    [atrcrn[n, a0 + 4 * it] + atrcrn[n, a0 + 4 * it + 1]
+                     for it in range(na)])
+                maero = maero + (1.0 - FSNOWRDG) * afrac[None] * sno_amt
+            # ridged topo-pond water drains to the ocean: ardg1n*apnd*hpnd
+            # == afrac * (aicen*apnd*hpnd) == afrac*amount[hpnd]
+            # (ice_mechred.F90:1713-1717)
+            if tr_pond_topo and tr.nt_hpnd >= 0:
+                mpond = mpond + afrac * atrcrn[n, tr.nt_hpnd]
+            # BGC: donor loses afrac*amount; receiver additions are
+            # subtracted below, leaving the net area-crush loss
+            if tr.nbtrcr:
+                bio_amt = jnp.stack([atrcrn[n, s] for s in tr.nt_bgc])
+                mbio = mbio + afrac[None] * bio_amt
+            if cat_diags:
+                # per-donor ridging amounts + rafting mask (rafting when
+                # hrmin hits the 2h branch, i.e. hi <= maxraft;
+                # ice_mechred.F90:1227 mraft, :671 araftn = mraft*ardg2n)
+                hi_n = jnp.where(a_init[n] > ct.puny,
+                                 v_init[n] / jnp.maximum(a_init[n],
+                                                         ct.puny), 0.0)
+                mraft = (hi_n <= MAXRAFT).astype(dtype)
+                cd_ardg1[n] = ardg1n
+                cd_ardg2[n] = ardg2n
+                cd_virdg[n] = virdgn
+                cd_araft[n] = mraft * ardg2n
+                cd_vraft[n] = mraft * virdgn
 
             # donor-side removal: a fraction afrac of every conserved
             # amount leaves the donor category, uniformly across slots
@@ -321,6 +398,13 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
                 coeff = (maskA * cA[None] + maskV * cV[None]
                          + maskS * cS[None])
                 acc(d_atrcr, nr, coeff * atrcrn[n])
+                if tr.nbtrcr:
+                    mbio = mbio - cA[None] * bio_amt
+                if cat_diags:
+                    # redistribution into receiver nr (f_aredistn:
+                    # farea*ardg2n, f_vredistn: fvol*virdgn)
+                    acc(cd_reda, nr, farea * ardg2n)
+                    acc(cd_redv, nr, fvol * virdgn)
 
         zB = jnp.zeros(B, dtype)
         aicen = aicen + jnp.stack([d if d is not None else zB
@@ -332,6 +416,21 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
         atrcrn = atrcrn + jnp.stack(
             [d if d is not None else jnp.zeros((tr.ntrcr,) + B, dtype)
              for d in d_atrcr])
+
+        catdiag = c.catdiag
+        if cat_diags:
+            zz = jnp.zeros(B, dtype)
+            stk = lambda lst: jnp.stack([x if x is not None else zz
+                                         for x in lst])
+            catdiag = catdiag.at[:5].add(jnp.stack(
+                [stk(cd_ardg1), stk(cd_ardg2), stk(cd_virdg),
+                 stk(cd_araft), stk(cd_vraft)]))
+            # participation/mean-ridge-thickness: the final iteration's
+            # ridge_itd values (overwritten each trip, ice_mechred.F90:397)
+            catdiag = catdiag.at[5].set(r.apartic)
+            catdiag = catdiag.at[6].set(r.krdg)
+            catdiag = catdiag.at[7].add(stk(cd_reda))
+            catdiag = catdiag.at[8].add(stk(cd_redv))
 
         # convergence check (ridge_check, ice_mechred.F90:2040-2093)
         asum2 = aice0 + jnp.sum(aicen, axis=0)
@@ -351,7 +450,8 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
             atrcrn=atrcrn, aice0=aice0, closing_net=closing_new,
             opning=opning_new, done=c.done | ok,
             ardg1=ardg1_d, ardg2=ardg2_d, virdg=virdg_d, aopen=aopen,
-            msnow_mlt=msnow, esnow_mlt=esnow)
+            msnow_mlt=msnow, esnow_mlt=esnow, maero=maero, mpond=mpond,
+            mbio=mbio, catdiag=catdiag)
 
     atrcrn0 = tracer_weights(tr, aicen, vicen, vsnon, trcrn) * trcrn
     init = Carry(niter=jnp.zeros((), jnp.int32), aicen=aicen, vicen=vicen,
@@ -359,7 +459,10 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
                  closing_net=closing_net, opning=opning,
                  done=jnp.zeros(B, bool),
                  ardg1=z, ardg2=z, virdg=z, aopen=z, msnow_mlt=z,
-                 esnow_mlt=z)
+                 esnow_mlt=z, maero=jnp.zeros((na,) + B, dtype), mpond=z,
+                 mbio=jnp.zeros((tr.nbtrcr,) + B, dtype),
+                 catdiag=jnp.zeros(((9 if cat_diags else 0), ncat) + B,
+                                   dtype))
     # peel the first trip: it always runs, fuses with the surrounding
     # step, and leaves the while_loop a no-op wherever closure converges
     # in one iteration (the common case under the scale-aware tolerance)
@@ -375,4 +478,8 @@ def ridge_ice(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
         dardg1dt=f.ardg1 * dti, dardg2dt=f.ardg2 * dti,
         dvirdgdt=f.virdg * dti, opening=f.aopen * dti,
         fresh=f.msnow_mlt * dti_th, fhocn=f.esnow_mlt * dti_th,
+        faero_ocn=f.maero * dti_th, dfpond=f.mpond,
+        dflux_bio=f.mbio * _phi_sk(tr) * dti_th,
+        catdiag=(f.catdiag.at[:3].multiply(dti) if cat_diags
+                 else f.catdiag),
         asum_err=jnp.abs(asum_f - 1.0), niter=f.niter)

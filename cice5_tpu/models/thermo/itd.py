@@ -565,6 +565,55 @@ def linear_itd(tr: TracerRegistry, hin_max, nslyr, *, aicen_init, vicen_init,
 
 
 # ----------------------------------------------------------------------
+# aerosol / pond / BGC conservation helpers
+# ----------------------------------------------------------------------
+
+def _aero_mass_per_cat(tr: TracerRegistry, vicen, vsnon, trcrn,
+                       snow=True, ice=True):
+    """Per-(species, category) aerosol mass (kg/m^2): vsnon*(snow-layer
+    concentrations) + vicen*(ice-layer concentrations). Slot layout is the
+    reference's nt_aero+4*(it-1): [sno ssl, sno int, ice ssl, ice int]
+    (ice_state.F90:118, ice_aerosol.F90:165). Returns (n_aero, ncat, *B)
+    or an empty (0,)+B-ish array when no aerosols."""
+    na = tr.n_aero
+    if na == 0:
+        return jnp.zeros((0,) + vicen.shape, vicen.dtype)
+    a0 = tr.nt_aero
+    out = []
+    for it in range(na):
+        m = jnp.zeros_like(vicen)
+        if snow:
+            m = m + vsnon * (trcrn[:, a0 + 4 * it]
+                             + trcrn[:, a0 + 4 * it + 1])
+        if ice:
+            m = m + vicen * (trcrn[:, a0 + 4 * it + 2]
+                             + trcrn[:, a0 + 4 * it + 3])
+        out.append(m)
+    return jnp.stack(out)
+
+
+def _pond_volume_per_cat(tr: TracerRegistry, aicen, trcrn, tr_pond_topo):
+    """Per-category topo-pond water volume aicen*apnd*hpnd (m)
+    (ice_itd.F90:1910-1913). Zero array when topo ponds are off."""
+    if not tr_pond_topo or tr.nt_apnd < 0:
+        return jnp.zeros_like(aicen)
+    return aicen * trcrn[:, tr.nt_apnd] * trcrn[:, tr.nt_hpnd]
+
+
+def _bgc_mass_per_cat(tr: TracerRegistry, aicen, trcrn):
+    """Per-(bgc tracer, category) PHYSICAL skeletal-BGC mass per grid
+    area: aicen*conc*phi_sk (mmol/m^2). The trcrn slot carries
+    concentration*sk_l of the porous layer; the physical mass carries the
+    porosity factor, matching the units of flux_bio (ice_algae.F90:464
+    flux_bio += ...*phi_sk). Slots are area-rooted (ice_zbgc.F90:311-319).
+    Returns (nbtrcr, ncat, *B)."""
+    if tr.nbtrcr == 0:
+        return jnp.zeros((0,) + aicen.shape, aicen.dtype)
+    from cice5_tpu.models.tracers.brine import PHI_SK
+    return jnp.stack([aicen * trcrn[:, s] * PHI_SK for s in tr.nt_bgc])
+
+
+# ----------------------------------------------------------------------
 # lateral melt (ice_therm_itd.F90:1043-1235)
 # ----------------------------------------------------------------------
 
@@ -576,16 +625,34 @@ class LateralMelt(NamedTuple):
     fsalt: jnp.ndarray
     fhocn: jnp.ndarray
     meltl: jnp.ndarray
+    dfpond: jnp.ndarray      # topo-pond water removed (m)
+    dfaero: jnp.ndarray      # (n_aero, *B) aerosol flux to ocean (kg/m^2/s)
+    dflux_bio: jnp.ndarray   # (nbtrcr, *B) BGC flux to ocean (mmol/m^2/s)
 
 
 def lateral_melt(dt, tr: TracerRegistry, nilyr, nslyr, *, aicen, vicen,
-                 vsnon, trcrn, rside) -> LateralMelt:
-    """Melt fraction rside of every category laterally; tracers unchanged."""
+                 vsnon, trcrn, rside, tr_pond_topo=False) -> LateralMelt:
+    """Melt fraction rside of every category laterally; tracers unchanged.
+
+    The melted fraction's aerosol / topo-pond water / skeletal-BGC load
+    goes to the ocean (ice_therm_itd.F90:1146-1152 dfpond, :1196-1212
+    faero_ocn). Deviation for strict conservation: the reference computes
+    the aerosol flux from POST-melt volumes (under-recording by a factor
+    1-rside; same quirk it has for fhocn); here the aerosol/BGC fluxes use
+    PRE-melt volumes so the global budget closes exactly. BGC routing is
+    a conservation completion the 5.1.2 reference omits (its skl tracers
+    simply shrink with area)."""
     r = rside[None]
     dfresh = jnp.sum((ct.rhos * vsnon + ct.rhoi * vicen) * r, axis=0) / dt
     dfsalt = jnp.sum(ct.rhoi * vicen * r, axis=0) \
         * ct.ice_ref_salinity * 0.001 / dt
     meltl = jnp.sum(vicen * r, axis=0)
+    dfpond = jnp.sum(_pond_volume_per_cat(tr, aicen, trcrn, tr_pond_topo)
+                     * r, axis=0)
+    dfaero = jnp.sum(_aero_mass_per_cat(tr, vicen, vsnon, trcrn)
+                     * r[None], axis=1) / dt
+    dflux_bio = jnp.sum(_bgc_mass_per_cat(tr, aicen, trcrn) * r[None],
+                        axis=1) / dt
 
     aicen_new = aicen * (1.0 - r)
     vicen_new = vicen * (1.0 - r)
@@ -598,7 +665,8 @@ def lateral_melt(dt, tr: TracerRegistry, nilyr, nslyr, *, aicen, vicen,
              + jnp.sum(jnp.sum(qsno, axis=1) * vsnon_new / nslyr * r,
                        axis=0)) / dt
     return LateralMelt(aicen=aicen_new, vicen=vicen_new, vsnon=vsnon_new,
-                       fresh=dfresh, fsalt=dfsalt, fhocn=fhocn, meltl=meltl)
+                       fresh=dfresh, fsalt=dfsalt, fhocn=fhocn, meltl=meltl,
+                       dfpond=dfpond, dfaero=dfaero, dflux_bio=dflux_bio)
 
 
 # ----------------------------------------------------------------------
@@ -612,6 +680,9 @@ class NewIce(NamedTuple):
     frazil: jnp.ndarray
     dfresh: jnp.ndarray   # frazil fresh-water flux to ocean (kg/m^2/s)
     dfsalt: jnp.ndarray   # frazil salt flux to ocean (kg/m^2/s)
+    flux_bio: jnp.ndarray  # (nbtrcr, *B) BGC uptake from the ocean into
+                           # new frazil ice (mmol/m^2/s, negative = ocean
+                           # loses; ice_zbgc.F90:988-999 add_new_ice_bgc)
 
 
 def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
@@ -619,14 +690,22 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
                 tr_FY=False, tr_lvl=False, tr_iage=False,
                 update_ocn_f=False, ktherm=1, sss=None,
                 phi_init=0.75, dSin0_frazil=3.0,
-                hfrazilmin=ct.hfrazilmin) -> NewIce:
+                hfrazilmin=ct.hfrazilmin,
+                tr_brine=False, ocean_bio=None,
+                initbio_frac=1.0) -> NewIce:
     """Frazil formation: convert positive freezing potential into new ice
     in category 1 (or spread over categories when open water is scarce).
 
     ktherm=2 frazil (ice_therm_itd.F90:1460-1492): new ice forms as mush
     at bulk salinity Si0 = sss - dSin0_frazil (quadratic taper for fresh
     water), liquid fraction phi_init, enthalpy from the mush liquidus;
-    otherwise frazil is fresh latent-heat ice with the salinz profile."""
+    otherwise frazil is fresh latent-heat ice with the salinz profile.
+
+    BGC/brine coupling (ice_zbgc.F90:866-1060 add_new_ice_bgc): the full
+    frazil volume takes up ocean BGC tracer (dissolved tracers at
+    initbio_frac, the rest fully) as a negative flux_bio; with tr_brine
+    the brine volume vbrin = fbri*vicen grows with the new ice volume and
+    fbri is re-derived so vbrin is conserved plus the frazil addition."""
     ncat = aicen.shape[0]
     B = aicen.shape[1:]
     # float(): numpy scalars would strongly promote f32 arrays under x64
@@ -670,6 +749,11 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
     else:
         dfresh = jnp.zeros_like(vi0new)
         dfsalt = jnp.zeros_like(vi0new)
+
+    # brine volume before any new-ice addition (add_new_ice_bgc,
+    # ice_zbgc.F90:966-976: vbrin = fbri*vicen_init per category)
+    if tr_brine and tr.nt_fbri >= 0:
+        vbrin = trcrn[:, tr.nt_fbri] * vicen
 
     grow = vi0new > 0.0
     open_w = aice0 > ct.puny
@@ -723,6 +807,16 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
             has_surp[None] & (vicen > ct.puny),
             (trcrn[:, tr.nt_vlvl] * vicen + trcrn[:, tr.nt_alvl] * vsurp)
             / jnp.maximum(vtmp, ct.puny), trcrn[:, tr.nt_vlvl]))
+    # ice-aerosol dilution on hsurp thickening: new frazil carries no
+    # aerosol, so concentrations scale by vicen/vtmp keeping the mass
+    # amount fixed (conservation completion — the reference leaves the
+    # concentrations unchanged, inflating aerosol mass with the grown
+    # volume; cf. ice_therm_itd.F90:1612-1690 which updates only
+    # qice/sice/iage/vlvl)
+    for it in range(tr.n_aero):
+        i0 = tr.nt_aero + 4 * it + 2
+        trcrn = trcrn.at[:, i0:i0 + 2].set(jnp.where(
+            hsm, trcrn[:, i0:i0 + 2] * ro, trcrn[:, i0:i0 + 2]))
     vicen = jnp.where(has_surp[None], vtmp, vicen)
 
     # --- add vi0n/ai0new to category 1 (:1697-1800) ---
@@ -769,9 +863,61 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
     else:
         trcrn = trcrn.at[0, q0:q0 + nilyr].set(qbn)
         trcrn = trcrn.at[0, s0:s0 + nilyr].set(sbn)
+    # aerosol-free new ice: dilute cat-1 ice-aerosol concentrations so the
+    # aerosol amount is unchanged by the volume growth (see hsurp note)
+    for it in range(tr.n_aero):
+        i0 = tr.nt_aero + 4 * it + 2
+        trcrn = trcrn.at[0, i0:i0 + 2].set(jnp.where(
+            mixm, trcrn[0, i0:i0 + 2] * vice1 / v1s, trcrn[0, i0:i0 + 2]))
+
+    # --- add_new_ice_bgc (ice_zbgc.F90:866-1060) ---
+    if tr_brine and tr.nt_fbri >= 0:
+        # hsurp thickening: vbrin grows by vsurp; cat-1 frazil: by vi0n
+        vbrin = jnp.where(has_surp[None], vbrin + vsurp, vbrin)
+        vbrin = vbrin.at[0].set(
+            jnp.where(add1, vbrin[0] + vi0n, vbrin[0]))
+        touched = has_surp[None] | jnp.concatenate(
+            [add1[None], jnp.zeros((ncat - 1,) + B, bool)])
+        fbri_new = jnp.where(vicen > 0.0,
+                             vbrin / jnp.maximum(vicen, 1e-30), 1.0)
+        trcrn = trcrn.at[:, tr.nt_fbri].set(
+            jnp.where(touched, fbri_new, trcrn[:, tr.nt_fbri]))
+    if tr.nbtrcr and ocean_bio is not None:
+        # ocean loses tracer into the full frazil volume: dissolved
+        # tracers at initbio_frac, particulate fully (ice_zbgc.F90:
+        # 988-999; negative flux_bio = uptake from the ocean). The
+        # uptaken mass U seeds the ice-side skeletal concentrations
+        # (cat-1 share vi0n/vi0new area-mixed into category 1, hsurp
+        # share spread over all categories) so the ice+ocean budget
+        # closes exactly — a conservation completion: the reference
+        # records the ocean loss but leaves the ice concentrations to
+        # the next step's first-ice seeding.
+        from cice5_tpu.models.tracers.brine import PHI_SK
+        btype = jnp.asarray(tr.bgc_type, vi0new.dtype)
+        fac = btype * initbio_frac + (1.0 - btype)     # (nbtrcr,)
+        fac = fac.reshape((tr.nbtrcr,) + (1,) * len(B))
+        U = jnp.where(grow, vi0new, 0.0)[None] * ocean_bio * fac
+        flux_bio = -U / dt
+        vi0_safe = jnp.maximum(vi0new, ct.puny)
+        for k, slot in enumerate(tr.nt_bgc):
+            ck = trcrn[:, slot]
+            # hsurp thickening: area unchanged, conc gains the per-area
+            # share of U assigned to the thickened volume
+            gain_h = jnp.where(has_surp,
+                               U[k] * hsurp / (vi0_safe * PHI_SK), 0.0)
+            cn = jnp.where(has_surp[None] & (aicen > ct.puny),
+                           ck + gain_h[None], ck)
+            # cat-1 frazil: mass-weighted mix over the grown area
+            u1 = jnp.where(add1, U[k] * vi0n / vi0_safe, 0.0)
+            c1 = jnp.where(add1,
+                           (cn[0] * area1 + u1 / PHI_SK)
+                           / jnp.maximum(a1new, ct.puny), cn[0])
+            trcrn = trcrn.at[:, slot].set(cn.at[0].set(c1))
+    else:
+        flux_bio = jnp.zeros((tr.nbtrcr,) + B, aicen.dtype)
 
     return NewIce(aicen=aicen, vicen=vicen, trcrn=trcrn, frazil=frazil,
-                  dfresh=dfresh, dfsalt=dfsalt)
+                  dfresh=dfresh, dfsalt=dfsalt, flux_bio=flux_bio)
 
 
 # ----------------------------------------------------------------------
@@ -786,12 +932,24 @@ class Cleanup(NamedTuple):
     dfresh: jnp.ndarray
     dfsalt: jnp.ndarray
     dfhocn: jnp.ndarray
+    dfpond: jnp.ndarray      # topo-pond water removed (m)
+    dfaero: jnp.ndarray      # (n_aero, *B) aerosol flux to ocean (kg/m^2/s)
+    dflux_bio: jnp.ndarray   # (nbtrcr, *B) BGC flux to ocean (mmol/m^2/s)
+    zapped: jnp.ndarray      # (ncat, *B) bool: category fully zapped
+                             # (sets first_ice, ice_itd.F90:2013-2017)
 
 
 def zap_small_areas(dt, tr: TracerRegistry, nilyr, nslyr, *, aicen, vicen,
-                    vsnon, trcrn) -> Cleanup:
+                    vsnon, trcrn, tr_pond_topo=False) -> Cleanup:
     """Zap categories with 0 < aicen <= puny, returning melt water/salt/heat
-    to the ocean (ice_itd.F90:1778-2166), and renormalize aice > 1."""
+    to the ocean (ice_itd.F90:1778-2166), and renormalize aice > 1.
+
+    Conservation bookkeeping beyond water/salt/heat: zapped topo-pond
+    water leaves the fpond accumulator (ice_itd.F90:1905-1913), zapped
+    snow+ice aerosol mass goes to faero_ocn (:1918-1927 + zap_snow
+    :2221-2236), and zapped skeletal-BGC amount goes to flux_bio (a
+    conservation completion: 5.1.2 passes flux_bio into the zap but
+    never updates it, silently destroying the bio mass)."""
     zap = (jnp.abs(aicen) <= ct.puny) & (jnp.abs(aicen) != 0.0)
     qice = trcrn[:, tr.nt_qice:tr.nt_qice + nilyr]
     qsno = trcrn[:, tr.nt_qsno:tr.nt_qsno + nslyr]
@@ -806,6 +964,14 @@ def zap_small_areas(dt, tr: TracerRegistry, nilyr, nslyr, *, aicen, vicen,
                      axis=0) / dt
     dfsalt = jnp.sum(jnp.where(zap, ct.rhoi * vicen, 0.0), axis=0) \
         * ct.ice_ref_salinity * 0.001 / dt
+    dfpond = jnp.sum(jnp.where(
+        zap, _pond_volume_per_cat(tr, aicen, trcrn, tr_pond_topo), 0.0),
+        axis=0)
+    dfaero = jnp.sum(jnp.where(
+        zap[None], _aero_mass_per_cat(tr, vicen, vsnon, trcrn), 0.0),
+        axis=1) / dt
+    dflux_bio = jnp.sum(jnp.where(
+        zap[None], _bgc_mass_per_cat(tr, aicen, trcrn), 0.0), axis=1) / dt
 
     aicen = jnp.where(zap, 0.0, aicen)
     vicen = jnp.where(zap, 0.0, vicen)
@@ -821,24 +987,38 @@ def zap_small_areas(dt, tr: TracerRegistry, nilyr, nslyr, *, aicen, vicen,
             tvals.append(jnp.where(zap, 0.0, trcrn[:, it]))
     trcrn = jnp.stack(tvals, axis=1)
 
-    # renormalize aice in (1, 1+puny]
+    # renormalize aice in (1, 1+puny] (ice_itd.F90:2028-2160: state scales
+    # by 1/aice, tracers unchanged, the scaled-away fraction's water/salt/
+    # heat/pond/aerosol/BGC load goes to the ocean)
     aice = jnp.sum(aicen, axis=0)
     over = aice > 1.0
     scale = jnp.where(over, 1.0 / jnp.maximum(aice, 1.0), 1.0)
+    excess = (1.0 - scale)   # == (aice-1)/aice where over, else 0
     dfresh = dfresh + jnp.sum(
-        (ct.rhoi * vicen + ct.rhos * vsnon) * (1.0 - scale)[None],
+        (ct.rhoi * vicen + ct.rhos * vsnon) * excess[None],
         axis=0) / dt
-    dfsalt = dfsalt + jnp.sum(ct.rhoi * vicen * (1.0 - scale)[None],
+    dfsalt = dfsalt + jnp.sum(ct.rhoi * vicen * excess[None],
                               axis=0) * ct.ice_ref_salinity * 0.001 / dt
     dfhocn = dfhocn + (jnp.sum(jnp.sum(qice, axis=1) * vicen / nilyr, axis=0)
                        + jnp.sum(jnp.sum(qsno, axis=1) * vsnon / nslyr,
-                                 axis=0)) * (1.0 - scale) / dt
+                                 axis=0)) * excess / dt
+    dfpond = dfpond + jnp.sum(
+        _pond_volume_per_cat(tr, aicen, trcrn, tr_pond_topo)
+        * excess[None], axis=0)
+    dfaero = dfaero + jnp.sum(
+        _aero_mass_per_cat(tr, vicen, vsnon, trcrn)
+        * excess[None, None], axis=1) / dt
+    dflux_bio = dflux_bio + jnp.sum(
+        _bgc_mass_per_cat(tr, aicen, trcrn) * excess[None, None],
+        axis=1) / dt
     aicen = aicen * scale[None]
     vicen = vicen * scale[None]
     vsnon = vsnon * scale[None]
 
     return Cleanup(aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
-                   dfresh=dfresh, dfsalt=dfsalt, dfhocn=dfhocn)
+                   dfresh=dfresh, dfsalt=dfsalt, dfhocn=dfhocn,
+                   dfpond=dfpond, dfaero=dfaero, dflux_bio=dflux_bio,
+                   zapped=zap)
 
 
 def zap_snow_temperature(dt, tr: TracerRegistry, nslyr, *, aicen, vsnon,
@@ -846,7 +1026,8 @@ def zap_snow_temperature(dt, tr: TracerRegistry, nslyr, *, aicen, vsnon,
     """Remove snow whose diagnosed temperature is out of bounds
     (ice_itd.F90:2274-2420): Tmin = -100 C; Tmax from the roundoff bound
     -zqsn*puny*nslyr/(rhos*cp_ice*vsnon). Zapped snow mass/energy go to the
-    ocean. Returns (vsnon, trcrn, dfresh, dfhocn)."""
+    ocean, and its aerosol load to faero_ocn (zap_snow, ice_itd.F90:
+    2221-2236). Returns (vsnon, trcrn, dfresh, dfhocn, dfaero)."""
     TMIN = -100.0
     hsn = jnp.where(aicen > ct.puny,
                     vsnon / jnp.maximum(aicen, ct.puny), 0.0)
@@ -864,21 +1045,39 @@ def zap_snow_temperature(dt, tr: TracerRegistry, nslyr, *, aicen, vsnon,
     dfresh = jnp.sum(jnp.where(bad, ct.rhos * vsnon / dt, 0.0), axis=0)
     dfhocn = jnp.sum(jnp.where(bad[:, None], qsno * vsnon[:, None] / nslyr,
                                0.0), axis=(0, 1)) / dt
+    dfaero = jnp.sum(jnp.where(
+        bad[None],
+        _aero_mass_per_cat(tr, vsnon, vsnon, trcrn, ice=False), 0.0),
+        axis=1) / dt
     vsnon = jnp.where(bad, 0.0, vsnon)
     trcrn = trcrn.at[:, tr.nt_qsno:tr.nt_qsno + nslyr].set(
         jnp.where(bad[:, None], -ct.rhos * ct.Lfresh, qsno))
-    return vsnon, trcrn, dfresh, dfhocn
+    # zero the weightless snow-aerosol concentrations so later snowfall
+    # cannot resurrect the zapped mass
+    for it in range(tr.n_aero):
+        s0 = tr.nt_aero + 4 * it
+        trcrn = trcrn.at[:, s0:s0 + 2].set(
+            jnp.where(bad[:, None], 0.0, trcrn[:, s0:s0 + 2]))
+    return vsnon, trcrn, dfresh, dfhocn, dfaero
 
 
 def cleanup_itd(dt, tr: TracerRegistry, hin_max, nilyr, nslyr, *, aicen,
-                vicen, vsnon, trcrn) -> Cleanup:
+                vicen, vsnon, trcrn, tr_pond_topo=False) -> Cleanup:
     """rebin + snow-temperature zap + small-area zap
-    (ice_itd.F90:1514-1769 cleanup_itd)."""
+    (ice_itd.F90:1514-1769 cleanup_itd).
+
+    Ordering note: the reference zaps small areas BEFORE the snow-
+    temperature zap; here small-area zap runs last so its aice>1
+    renormalization sees the final volumes — the two zaps touch disjoint
+    cells (aicen<=puny vs aicen>puny) so the order only matters for the
+    renorm, where last is strictly more conservative."""
     aicen, vicen, vsnon, trcrn = rebin(tr, hin_max, aicen, vicen, vsnon,
                                        trcrn)
-    vsnon, trcrn, dfresh_s, dfhocn_s = zap_snow_temperature(
+    vsnon, trcrn, dfresh_s, dfhocn_s, dfaero_s = zap_snow_temperature(
         dt, tr, nslyr, aicen=aicen, vsnon=vsnon, trcrn=trcrn)
     out = zap_small_areas(dt, tr, nilyr, nslyr, aicen=aicen, vicen=vicen,
-                          vsnon=vsnon, trcrn=trcrn)
+                          vsnon=vsnon, trcrn=trcrn,
+                          tr_pond_topo=tr_pond_topo)
     return out._replace(dfresh=out.dfresh + dfresh_s,
-                        dfhocn=out.dfhocn + dfhocn_s)
+                        dfhocn=out.dfhocn + dfhocn_s,
+                        dfaero=out.dfaero + dfaero_s)

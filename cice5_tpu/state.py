@@ -64,6 +64,12 @@ class TracerRegistry:
         return len(self.nt_bgc)
 
     @property
+    def n_aero(self) -> int:
+        """Number of aerosol species (4 trcrn slots each: 2 snow + 2 ice
+        layers, reference nt_aero+4*(it-1) layout, ice_state.F90:118)."""
+        return sum(1 for n in self.names if n.startswith("aerosno1_"))
+
+    @property
     def has_dependents(self) -> tuple[bool, ...]:
         out = [False] * self.ntrcr
         for d in self.depend:
@@ -204,6 +210,14 @@ class State:
     # f_mlt_onset/f_frz_onset)
     mlt_onset: jnp.ndarray
     frz_onset: jnp.ndarray
+    # coupled-ordering radiation memory (cfg.coupled_radiation; empty
+    # otherwise): last step's per-category SW absorption stack
+    # [fswsfc, fswint, fswthru | Sswabs*nslyr | Iswabs*nilyr]
+    # (ncat, nrad, ny, nx) and the ai-weighted ice-only 4-band albedos
+    # (4, ny, nx) — what prep_radiation rescales (ice_step_mod.F90:33-154;
+    # the fswsfcn/alvdr_ai module state of ice_shortwave/ice_flux)
+    rad_prev: jnp.ndarray
+    rad_alb: jnp.ndarray
 
     @property
     def aice(self):
@@ -240,4 +254,10 @@ def zeros_state(cfg: ModelConfig, tr: TracerRegistry) -> State:
         a12n=jnp.zeros((4, ny, nx), dt_),
         first_ice=jnp.ones((cfg.ncat, ny, nx), dt_),
         mlt_onset=z2(), frz_onset=z2(),
+        rad_prev=jnp.zeros(
+            (cfg.ncat,
+             (3 + cfg.nslyr + cfg.nilyr) if cfg.coupled_radiation else 0,
+             ny, nx), dt_),
+        rad_alb=jnp.zeros((4 if cfg.coupled_radiation else 0, ny, nx),
+                          dt_),
     )

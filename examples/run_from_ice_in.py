@@ -28,7 +28,28 @@ print("diag points:", list(zip(run.get("latpnt", []),
                                run.get("lonpnt", []))))
 
 m = Model(cfg)
-state = m.init_state()
+istep0 = 0
+if run.get("runtype") == "continue":
+    # continue from the pointer-file target: native .npz dumps restore
+    # directly; reference-format CICE 5 `iced.*` dumps (binary core +
+    # per-tracer supplements, or one netCDF) go through the v5 reader
+    # (ice_restart_driver.F90:191-516 restartfile)
+    from cice5_tpu.io import restart as restart_mod
+    from cice5_tpu.io import restart_v5
+    pdir = run.get("restart_dir", "restart")
+    with open(f"{pdir}/{restart_mod.POINTER_NAME}") as f:
+        target = f.read().strip()
+    if target.endswith(".npz"):
+        state, meta = restart_mod.restore(target)
+    elif target.endswith(".nc"):
+        state, meta = restart_v5.read_restart_v5_nc(target, cfg, m.tr)
+    else:
+        state, meta = restart_v5.read_restart_v5(target, cfg, m.tr)
+    istep0 = int(meta.get("istep", 0))
+    print(f"continued from {target} at istep {istep0}")
+else:
+    state = m.init_state()
 state = m.run(state, nsteps=int(run.get("diagfreq", 6)),
+              start_step=istep0,
               diag_every=int(run.get("diagfreq", 6)))
 print("aice max:", float(np.asarray(state.aicen.sum(0)).max()))

@@ -115,3 +115,108 @@ class TestCoupledModel:
         assert s1["time"] == 3600.0
         for k in ("Tair", "sst", "out_fhocn", "out_aice"):
             assert k in s1 and np.isfinite(s1[k])
+
+
+class TestCoupledRadiationOrdering:
+    """cfg.coupled_radiation restores the reference coupled-mode
+    ordering: prep_radiation rescale at step start + step_radiation at
+    step end (ice_step_mod.F90:33-154, :1364; VERDICT r3 item 7)."""
+
+    def _cfg(self, coupled):
+        cfg = rect_config(ny=12, nx=16)
+        return cfg.replace(
+            grid=dataclasses.replace(cfg.grid, ny=12, nx=16),
+            dyn=dataclasses.replace(cfg.dyn, ndte=10),
+            dtype="float64", accum_dtype="float64",
+            coupled_radiation=coupled)
+
+    def test_constant_forcing_matches_standalone(self):
+        """Under CONSTANT forcing the two orderings are identical: the
+        end-of-step radiation on state k equals the start-of-step
+        radiation on the same state, and the prep_radiation rescale
+        factor is exactly 1."""
+        ref = Model(self._cfg(False))
+        cm = Model(self._cfg(True))
+        f = ref.forcing_at(24 * 180)   # mid-summer: nonzero SW
+        st_r = ref.init_state(ice_mask=np.asarray(ref.grid.tmask))
+        st_c = cm.init_state(ice_mask=np.asarray(cm.grid.tmask))
+        # init_state prefilled the radiation memory with forcing_at(0);
+        # re-seed with the loop's forcing so the constant-forcing
+        # equivalence is exact (init_shortwave uses the initial forcing)
+        from cice5_tpu.driver.step import prefill_radiation
+        st_c = prefill_radiation(st_c, f, cm.cfg, cm.tr)
+        for k in range(3):
+            st_r, d_r = ref.step(st_r, f)
+            st_c, d_c = cm.step(st_c, f)
+        np.testing.assert_allclose(np.asarray(st_c.vicen),
+                                   np.asarray(st_r.vicen), rtol=0,
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.asarray(st_c.trcrn),
+                                   np.asarray(st_r.trcrn), rtol=0,
+                                   atol=1e-6)
+        assert float(np.asarray(d_r.fswabs).max()) > 1.0   # sun is up
+        np.testing.assert_allclose(np.asarray(d_c.fswabs),
+                                   np.asarray(d_r.fswabs), rtol=0,
+                                   atol=1e-9)
+
+    def test_varying_forcing_one_step_sw_lag(self):
+        """With time-varying SW the coupled ordering differs from the
+        standalone one only through the documented one-step SW lag: the
+        coupled step's thermo SW equals last step's absorption rescaled
+        to the new incoming SW."""
+        cm = Model(self._cfg(True))
+        st = cm.init_state(ice_mask=np.asarray(cm.grid.tmask))
+        # mid-summer hours: nonzero, differing coszen
+        f0, f1 = cm.forcing_at(24 * 180), cm.forcing_at(24 * 180 + 6)
+        st1, d1 = cm.step(st, f0)
+        # rad memory after step 1 is the end-of-step radiation; scale
+        # factor is the ice-only net SW under f0
+        rp = np.asarray(st1.rad_prev)
+        assert rp.shape[1] == 3 + cm.cfg.nslyr + cm.cfg.nilyr
+        assert np.isfinite(rp).all()
+        st2, d2 = cm.step(st1, f1)
+        # thermo SW in step 2 = rad_prev * netsw(f1)/netsw(f0):
+        al = np.asarray(st1.rad_alb)
+        net1 = (np.asarray(f1.swvdr) * (1 - al[0])
+                + np.asarray(f1.swvdf) * (1 - al[1])
+                + np.asarray(f1.swidr) * (1 - al[2])
+                + np.asarray(f1.swidf) * (1 - al[3]))
+        sfac = np.where(
+            (np.asarray(st1.aicen.sum(0)) > 0)
+            & (np.asarray(st1.scale_factor) > ct.puny),
+            net1 / np.maximum(np.asarray(st1.scale_factor), ct.puny), 1.0)
+        expected_fswabs = np.asarray(
+            (st1.aicen * (st1.rad_prev[:, 0] + st1.rad_prev[:, 1]
+                          + st1.rad_prev[:, 2])).sum(0)) * sfac
+        np.testing.assert_allclose(np.asarray(d2.fswabs),
+                                   expected_fswabs, rtol=1e-10,
+                                   atol=1e-10)
+
+    def test_interleave_periods(self):
+        """CoupledModel.run honours num_cpl_ai/num_cpl_io exchange
+        cadences (drivers/auscom/CICE_RunMod.F90:128-240 coupled loop)
+        with the coupled radiation ordering active."""
+        m = Model(self._cfg(True))
+        st = m.init_state(ice_mask=np.asarray(m.grid.tmask))
+        calls = {"atm": [], "ocn": [], "put": []}
+        shape = m.grid.shape
+
+        def get_atm(t):
+            calls["atm"].append(t)
+            return {"Tair": np.full(shape, 263.0)}
+
+        def get_ocn(t):
+            calls["ocn"].append(t)
+            return {"sst": np.full(shape, -1.5)}
+
+        def put_ocn(t, out):
+            calls["put"].append(t)
+            assert "fhocn" in out and "aice" in out
+
+        cm = CoupledModel(model=m, get_atm=get_atm, get_ocn=get_ocn,
+                          put_ocn=put_ocn, num_cpl_ai=2, num_cpl_io=3)
+        st, diag = cm.run(st, nsteps=6)
+        assert len(calls["atm"]) == 3      # steps 0, 2, 4
+        assert len(calls["ocn"]) == 2      # steps 0, 3
+        assert len(calls["put"]) == 2      # after steps 3, 6
+        assert np.isfinite(np.asarray(st.vicen)).all()

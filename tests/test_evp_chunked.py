@@ -103,6 +103,7 @@ def _sharded_run(fn, g, f, mesh_shape, ns="open"):
     return wrapped
 
 
+@pytest.mark.slow
 class TestChunkedSharded:
     @pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
     def test_decomposition_invariance(self, rng, mesh_shape):
@@ -187,6 +188,7 @@ class TestChunkedSharded:
         assert n_chk * 9 <= n_ref, (n_chk, n_ref)
 
 
+@pytest.mark.slow
 class TestChunkedInStep:
     def test_sharded_full_step_matches(self):
         """evp_algorithm='chunked' through the full sharded step."""
@@ -215,6 +217,7 @@ class TestChunkedInStep:
                                        err_msg=name)
 
 
+@pytest.mark.slow
 class TestChunkedTripole:
     @pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
     def test_tripole_decomposition_invariance(self, rng, mesh_shape):

@@ -236,7 +236,7 @@ class TestZapSnowTemperature:
         # ...except one insane category/cell (T << -100 C)
         qs_bad = -ct.rhos * (ct.Lfresh + ct.cp_ice * 500.0)
         trcrn = trcrn.at[1, tr.nt_qsno, 2].set(qs_bad)
-        vs, t2, dfresh, dfhocn = itd.zap_snow_temperature(
+        vs, t2, dfresh, dfhocn, _dfaero = itd.zap_snow_temperature(
             3600.0, tr, cfg.nslyr, aicen=aicen, vsnon=vsnon, trcrn=trcrn)
         # the bad cell's snow is gone, others untouched
         assert float(vs[1, 2]) == 0.0

@@ -121,3 +121,38 @@ class TestMushyParamsWired:
         assert float(jnp.abs(dS1 - dS2).max()) > 0.0
         np.testing.assert_allclose(np.asarray(dS1), 3.0 * np.asarray(dS2),
                                    rtol=1e-6)
+
+
+class TestIcefieldsMapping:
+    def test_every_selected_flag_maps_to_catalog_fields(self):
+        """Every f_* history flag selected (non-'x') in the 4 shipped
+        ice_in templates maps onto real catalog fields under a
+        configuration with the relevant physics enabled
+        (ice_history_shared.F90:186-358 + the per-module icefields
+        groups; VERDICT r3 item 4)."""
+        import dataclasses
+        from cice5_tpu.config import rect_config
+        from cice5_tpu.io.history import fields_for_icefields
+        from cice5_tpu.namelist import config_from_ice_in
+        from cice5_tpu.state import build_tracer_registry
+
+        cfg = rect_config()
+        cfg = cfg.replace(
+            tracers=dataclasses.replace(
+                cfg.tracers, tr_iage=True, tr_FY=True, tr_lvl=True,
+                tr_pond_lvl=True, tr_aero=True, n_aero=3, tr_brine=True,
+                skl_bgc=True),
+            dyn=dataclasses.replace(cfg.dyn, diag_mechred=True),
+            forcing=dataclasses.replace(cfg.forcing, formdrag=True))
+        tr = build_tracer_registry(cfg)
+        base = "/root/reference/input_templates"
+        shapes = {"col": (8, 8), "gx3": (100, 116), "gx1": (320, 384),
+                  "tp1": (100, 116)}
+        for tmpl, (nx, ny) in shapes.items():
+            _c, run = config_from_ice_in(f"{base}/{tmpl}/ice_in",
+                                         nx=nx, ny=ny)
+            ice = run.get("icefields", {})
+            assert ice, tmpl
+            fields, unmapped = fields_for_icefields(ice, cfg, tr)
+            assert not unmapped, (tmpl, unmapped)
+            assert len(fields) > 50, (tmpl, len(fields))

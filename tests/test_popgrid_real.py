@@ -94,10 +94,16 @@ class TestTp1Tripole:
         assert np.isfinite(np.asarray(st.aicen)).all()
         assert np.isfinite(np.asarray(st.uvel)).all()
 
-    @pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+    @pytest.mark.parametrize("mesh_shape", [
+        (2, 4),
+        pytest.param((4, 2), marks=pytest.mark.slow),
+        pytest.param((1, 8), marks=pytest.mark.slow)])
     def test_decomposition_invariance_real_tripole(self, mesh_shape):
-        """bfbflag analog on the real tp1 grid: 1-device jit vs 8-device
-        shard_map, one full step, f64.
+        """bfbflag analog on the real tp1 grid at gx1-PARITY physics
+        (mushy ktherm=2 + dEdd + iage/FY/lvl/pond_lvl + remap + slab
+        ocean): 1-device jit vs 8-device shard_map, TWO full steps, f64 —
+        the Model-level decomposition-invariance oracle applied to the
+        flagship configuration (VERDICT r3 item 6).
 
         Tolerance note: XLA compiles different fusions for the 116x100
         single-device arrays vs the per-shard tiles, so elementwise chains
@@ -112,17 +118,25 @@ class TestTp1Tripole:
         from cice5_tpu.driver.sharded import ShardedModel
         cfg = _fast(tp1_config(), ndte=10).replace(dtype="float64",
                                                    accum_dtype="float64")
+        # gx3 physics is already mushy+dEdd+iage/lvl/pond_lvl; add the
+        # remaining gx1-parity tracer (first-year area)
+        cfg = cfg.replace(tracers=dataclasses.replace(cfg.tracers,
+                                                      tr_FY=True))
         ref = Model(cfg)
-        st = ref.init_state(ice_mask=np.asarray(ref.grid.tmask))
-        f = ref.forcing_at(0)
-        st1, _ = ref.step(st, f)
-
+        st1 = ref.init_state(ice_mask=np.asarray(ref.grid.tmask))
         sm = ShardedModel(cfg, devices=jax.devices()[:8],
                           mesh_shape=mesh_shape)
-        stn, _ = sm.step(sm.put(st), sm.put(f))
+        stn = sm.put(st1)
+        for k in range(2):
+            f = ref.forcing_at(k)
+            st1, _ = ref.step(st1, f)
+            stn, _ = sm.step(stn, sm.put(f))
+        # 3e-8*scale is the measured single-step amplified-rounding bound;
+        # each further step roughly doubles the seed (measured: 2 cells of
+        # 58000 at 4.6e-8 after two steps), hence the factor 2
         for name in ("aicen", "vicen", "vsnon", "uvel", "vvel", "trcrn"):
             a = np.asarray(getattr(st1, name))
             b = np.asarray(getattr(stn, name))
             scale = max(np.abs(a).max(), 1.0)
-            np.testing.assert_allclose(a, b, rtol=0, atol=3e-8 * scale,
+            np.testing.assert_allclose(a, b, rtol=0, atol=6e-8 * scale,
                                        err_msg=name)

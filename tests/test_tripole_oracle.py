@@ -18,6 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# doubled-domain oracles are the heavyweight compile items: default gate
+# runs them under -m slow only (full suite: pytest -m "slow or not slow")
+pytestmark = pytest.mark.slow
+
 from cice5_tpu import ModelConfig
 from cice5_tpu.config import GridConfig
 from cice5_tpu.grid import popgrid_np
