@@ -190,6 +190,12 @@ def _read_bin_file(path, fields, ny, nx, ncat, sink):
 
     def rd():
         a = np.frombuffer(next(recs), ">f8")
+        if a.size == (ny + 2) * (nx + 2):
+            # restart_ext=true dump: ghost-inclusive records
+            # (ice_read_write.F90:554 ice_read_ext, nghost=1); the
+            # interior is authoritative, ghosts are rebuilt by our halo
+            # machinery on demand
+            return a.reshape(ny + 2, nx + 2)[1:-1, 1:-1]
         if a.size != ny * nx:
             raise ValueError(f"record size {a.size} != {ny}x{nx}")
         return a.reshape(ny, nx)
@@ -202,8 +208,26 @@ def _read_bin_file(path, fields, ny, nx, ncat, sink):
     return dict(istep=istep, time=float(time), time_forc=float(time_forc))
 
 
-def _write_bin_file(path, fields, source, istep, time, time_forc):
+def _ghost_extend(arr, topo):
+    """One ghost ring for restart_ext records (ice_write_ext,
+    ice_read_write.F90:700+). With a Topology the ring is the real halo
+    image (cyclic wrap / tripole fold / land closure via parallel.halo
+    — scalar center semantics, which is what dumpfile_ext uses for every
+    record); without one it falls back to edge replication (the ghosts
+    only seed the reading model's halo cells, which the first
+    ice_HaloUpdate-equivalent refreshes anyway)."""
+    a = np.asarray(arr, np.float64)
+    if topo is None:
+        return np.pad(a, 1, mode="edge")
+    from cice5_tpu.parallel import halo as halo_mod
+    return np.asarray(halo_mod.extend(jnp.asarray(a), topo))
+
+
+def _write_bin_file(path, fields, source, istep, time, time_forc,
+                    restart_ext=False, topo=None):
     def rec(f, arr):
+        if restart_ext:
+            arr = _ghost_extend(arr, topo)
         payload = np.ascontiguousarray(
             np.asarray(arr, np.float64)).astype(">f8").tobytes()
         f.write(np.array([len(payload)], ">i4").tobytes())
@@ -287,11 +311,17 @@ def write_restart_v5(state: State, path: str, cfg, tr, *, istep: int,
                      time: float, time_forc: float = 0.0,
                      oceanmixed: bool | None = None,
                      extras: dict | None = None,
-                     stem: str = "iced") -> list[str]:
+                     stem: str = "iced", restart_ext: bool = False,
+                     topo=None) -> list[str]:
     """Write a CICE 5 core dump + supplemental tracer files from a State
     (the dumpfile twin of read_restart_v5; hands state back to an actual
     CICE 5.1.2 run). extras may supply swvdr/swvdf/swidr/swidf etc.;
-    anything not in State or extras writes zeros.  Returns the paths."""
+    anything not in State or extras writes zeros.  Returns the paths.
+
+    restart_ext=True writes ghost-inclusive (ny+2, nx+2) records (the
+    reference's restart_ext namelist flag, io_binary/ice_restart.F90:87,
+    ice_read_write.F90 ice_write_ext); pass the model Topology so the
+    ring is the true halo image (falls back to edge replication)."""
     from cice5_tpu.parallel.distributed import to_host
     if oceanmixed is None:
         oceanmixed = cfg.forcing.oceanmixed_ice
@@ -318,10 +348,12 @@ def write_restart_v5(state: State, path: str, cfg, tr, *, istep: int,
     paths = [path]
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     _write_bin_file(path, _core_fields(cfg, tr, oceanmixed), source,
-                    istep, time, time_forc)
+                    istep, time, time_forc, restart_ext=restart_ext,
+                    topo=topo)
     for suffix, fields in _tracer_files(cfg, tr):
         tp = tracer_path(path, suffix, stem)
-        _write_bin_file(tp, fields, source, istep, time, time_forc)
+        _write_bin_file(tp, fields, source, istep, time, time_forc,
+                        restart_ext=restart_ext, topo=topo)
         paths.append(tp)
     return paths
 
@@ -348,9 +380,13 @@ def read_restart_v5_nc(path: str, cfg, tr, *,
             istep=int(getattr(f, "istep1", 0)),
             time=float(getattr(f, "time", 0.0)),
             time_forc=float(getattr(f, "time_forc", 0.0)), version=5)
+        ny, nx = cfg.grid.ny, cfg.grid.nx
         for vname, _kind in fields:
             if vname in f.variables:
-                sink(vname, np.array(f.variables[vname][:]))
+                a = np.array(f.variables[vname][:])
+                if a.shape[-2:] == (ny + 2, nx + 2):
+                    a = a[..., 1:-1, 1:-1]   # restart_ext ghost ring
+                sink(vname, a)
             else:
                 meta.setdefault("missing_vars", []).append(vname)
     state, extra = finish()

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cice5_tpu import constants as ct
 from cice5_tpu.models.radiation.dedd import shortwave_dEdd, DEddResult
 
 
@@ -70,6 +71,21 @@ def shortwave_dEdd_tiled(*, nilyr, nslyr, aicen, vicen, vsnon, Tsfcn,
                             memory_space=pltpu.VMEM)
     frc_spec = pl.BlockSpec((by, nx), lambda c, y: (y, 0),
                             memory_space=pltpu.VMEM)
+    # per-(category, row-block) "any lit ice" flags, computed in XLA on
+    # the same criterion shortwave_dEdd uses for its `lit` mask. The
+    # whole (ncat, nyb) table rides in SMEM (Mosaic requires SMEM blocks
+    # to equal the full array shape) and the kernel picks its entry by
+    # program id.
+    nyb = pl.cdiv(ny, by)
+    flag_spec = pl.BlockSpec((ncat, nyb), lambda c, y: (0, 0),
+                             memory_space=pltpu.SMEM)
+    lit2 = ((swvdr + swvdf + swidr + swidf) > ct.puny) \
+        & (coszen > ct.puny)
+    litc = (aicen > ct.puny) & lit2[None]
+    if nyb * by != ny:
+        litc = jnp.pad(litc, ((0, 0), (0, nyb * by - ny), (0, 0)))
+    flags = jnp.any(litc.reshape(ncat, nyb, by, nx),
+                    axis=(2, 3)).astype(jnp.int32)
 
     def lay_spec(L):
         return pl.BlockSpec((1, L, by, nx), lambda c, y: (c, 0, y, 0),
@@ -81,17 +97,31 @@ def shortwave_dEdd_tiled(*, nilyr, nslyr, aicen, vicen, vsnon, Tsfcn,
         kalg=kalg, hs0=hs0, hs1=hs1, pndaspect=pndaspect,
         pond_scheme=pond_scheme)
 
-    def kernel(aic, vic, vsn, tsf, ap, hp, cz, fni, svdr, svdf, sidr,
-               sidf, *outs):
-        r = core(aicen=aic[0], vicen=vic[0], vsnon=vsn[0], Tsfcn=tsf[0],
-                 apnd=ap[0], hpnd=hp[0], coszen=cz[:], fnidr=fni[:],
-                 swvdr=svdr[:], swvdf=svdf[:], swidr=sidr[:],
-                 swidf=sidf[:])
-        for o, v in zip(outs, r):
-            if o.ndim == 3:          # (1, by, nx) plane
+    def kernel(flg, aic, vic, vsn, tsf, ap, hp, cz, fni, svdr, svdf,
+               sidr, sidf, *outs):
+        # Block-level lit skip: shortwave_dEdd zeroes every output where
+        # `lit = aicen>puny & netsw>puny & coszen>puny` is false, so a
+        # block with no lit ice cell anywhere produces all-zero outputs
+        # and the whole column solve can be skipped (the reference's
+        # compressed icells-with-daylight list, ice_shortwave.F90:1607+,
+        # expressed at block granularity). On gx1 ice occupies only the
+        # polar row bands, so ~70-80% of (category, row-block) blocks
+        # skip — this is the dominant remaining dEdd cost.
+        lit_blk = flg[pl.program_id(0), pl.program_id(1)]
+
+        @pl.when(lit_blk != 0)
+        def _compute():
+            r = core(aicen=aic[0], vicen=vic[0], vsnon=vsn[0],
+                     Tsfcn=tsf[0], apnd=ap[0], hpnd=hp[0], coszen=cz[:],
+                     fnidr=fni[:], swvdr=svdr[:], swvdf=svdf[:],
+                     swidr=sidr[:], swidf=sidf[:])
+            for o, v in zip(outs, r):
                 o[0] = v
-            else:                    # (1, L, by, nx) layered
-                o[0] = v
+
+        @pl.when(lit_blk == 0)
+        def _zero():
+            for o in outs:
+                o[0] = jnp.zeros(o.shape[1:], o.dtype)
 
     plane = jax.ShapeDtypeStruct((ncat, ny, nx), dtype)
     out_shape = DEddResult(
@@ -112,7 +142,7 @@ def shortwave_dEdd_tiled(*, nilyr, nslyr, aicen, vicen, vsnon, Tsfcn,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[cat_spec] * 6 + [frc_spec] * 6,
+        in_specs=[flag_spec] + [cat_spec] * 6 + [frc_spec] * 6,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
@@ -122,6 +152,6 @@ def shortwave_dEdd_tiled(*, nilyr, nslyr, aicen, vicen, vsnon, Tsfcn,
         # (v5e VMEM is 128 MiB)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(aicen, vicen, vsnon, Tsfcn, apnd, hpnd,
+    )(flags, aicen, vicen, vsnon, Tsfcn, apnd, hpnd,
       coszen, fnidr, swvdr, swvdf, swidr, swidf)
     return out

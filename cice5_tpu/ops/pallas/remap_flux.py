@@ -210,6 +210,27 @@ def integrals_tiled_both(geomN, geomE, mmE2, tmE2, hmE2, tracer_type,
                           memory_space=pltpu.VMEM)
     hspecB = pl.BlockSpec((BY, nxE2), lambda c, t: (_bidx(t), 0),
                           memory_space=pltpu.VMEM)
+    flag_spec = pl.BlockSpec((ncat, nb), lambda c, t: (0, 0),
+                             memory_space=pltpu.SMEM)
+
+    # Block-level ice skip: every flux a block emits integrates the mass
+    # reconstruction of donor cells inside its two-block row window
+    # (incl. the W=2 ring, all carried by mmE2), and the reconstruction
+    # of an exactly-zero mass field is exactly zero (zero center values,
+    # zero limited gradients), so mflx == mtflx == 0 wherever the window
+    # holds no ice. mm is aicen, exactly 0.0 on ice-free ocean — on gx1
+    # only the polar row bands carry ice, so most (category, tile)
+    # blocks skip the reconstruction and both integral passes entirely
+    # (the reference's icellsnc/icellsec compressed edge lists,
+    # ice_transport_remap.F90:1024-1316, at block granularity).
+    nrows = mmE2.shape[-2]
+    padr = nbB * BY - nrows
+    mm_pad = jnp.pad(mmE2, [(0, 0), (0, padr), (0, 0)]) if padr \
+        else mmE2
+    anyA = jnp.any(mm_pad.reshape(ncat, nbB, BY, nxE2) != 0.0,
+                   axis=(2, 3))
+    tidx = jnp.minimum(jnp.arange(nb) + 1, nbB - 1)
+    flags = (anyA[:, :nb] | anyA[:, tidx]).astype(jnp.int32)
 
     def gspec(nxr):
         return pl.BlockSpec((rm.NGROUPS, BY, nxr), lambda c, t: (0, t, 0),
@@ -220,30 +241,39 @@ def integrals_tiled_both(geomN, geomE, mmE2, tmE2, hmE2, tracer_type,
                             lambda c, t: (0, 0, t, 0),
                             memory_space=pltpu.VMEM)
 
-    def kernel(dnNr, taNr, qxNr, qyNr, dnEr, taEr, qxEr, qyEr,
+    def kernel(flg, dnNr, taNr, qxNr, qyNr, dnEr, taEr, qxEr, qyEr,
                mmA, mmB, tmA, tmB, hmA, hmB,
                mflxN_o, mtflxN_o, mflxE_o, mtflxE_o):
-        Wm = jnp.concatenate([mmA[0], mmB[0]], axis=-2)
-        Wt = jnp.concatenate([tmA[0], tmB[0]], axis=-2)
-        Wh = jnp.concatenate([hmA[:], hmB[:]], axis=-2)
-        mc, mx, my, tc, tx, ty = rm._reconstruct_ext(
-            Wm, Wt, Wh, tracer_type, parent)
-        flN = rm._integrals(
-            dnNr[:], taNr[:], qxNr[:], qyNr[:],
-            _views_north(mc, BY, nx), _views_north(mx, BY, nx),
-            _views_north(my, BY, nx), _views_north(tc, BY, nx),
-            _views_north(tx, BY, nx), _views_north(ty, BY, nx),
-            tracer_type, parent)
-        flE = rm._integrals(
-            dnEr[:], taEr[:], qxEr[:], qyEr[:],
-            _views_east(mc, BY, nx), _views_east(mx, BY, nx),
-            _views_east(my, BY, nx), _views_east(tc, BY, nx),
-            _views_east(tx, BY, nx), _views_east(ty, BY, nx),
-            tracer_type, parent)
-        mflxN_o[0] = flN.mflx
-        mtflxN_o[0] = jnp.stack(flN.mtflx)
-        mflxE_o[0] = flE.mflx
-        mtflxE_o[0] = jnp.stack(flE.mtflx)
+        lit_blk = flg[pl.program_id(0), pl.program_id(1)]
+
+        @pl.when(lit_blk != 0)
+        def _compute():
+            Wm = jnp.concatenate([mmA[0], mmB[0]], axis=-2)
+            Wt = jnp.concatenate([tmA[0], tmB[0]], axis=-2)
+            Wh = jnp.concatenate([hmA[:], hmB[:]], axis=-2)
+            mc, mx, my, tc, tx, ty = rm._reconstruct_ext(
+                Wm, Wt, Wh, tracer_type, parent)
+            flN = rm._integrals(
+                dnNr[:], taNr[:], qxNr[:], qyNr[:],
+                _views_north(mc, BY, nx), _views_north(mx, BY, nx),
+                _views_north(my, BY, nx), _views_north(tc, BY, nx),
+                _views_north(tx, BY, nx), _views_north(ty, BY, nx),
+                tracer_type, parent)
+            flE = rm._integrals(
+                dnEr[:], taEr[:], qxEr[:], qyEr[:],
+                _views_east(mc, BY, nx), _views_east(mx, BY, nx),
+                _views_east(my, BY, nx), _views_east(tc, BY, nx),
+                _views_east(tx, BY, nx), _views_east(ty, BY, nx),
+                tracer_type, parent)
+            mflxN_o[0] = flN.mflx
+            mtflxN_o[0] = jnp.stack(flN.mtflx)
+            mflxE_o[0] = flE.mflx
+            mtflxE_o[0] = jnp.stack(flE.mtflx)
+
+        @pl.when(lit_blk == 0)
+        def _zero():
+            for o in (mflxN_o, mtflxN_o, mflxE_o, mtflxE_o):
+                o[0] = jnp.zeros(o.shape[1:], o.dtype)
 
     def ospec(nxr):
         return (pl.BlockSpec((1, BY, nxr), lambda c, t: (c, t, 0),
@@ -257,7 +287,8 @@ def integrals_tiled_both(geomN, geomE, mmE2, tmE2, hmE2, tracer_type,
     fn_mflx, fn_mtflx, fe_mflx, fe_mtflx = pl.pallas_call(
         kernel,
         grid=(ncat, nb),
-        in_specs=[gspec(nx), gspec(nx), qspec(nx), qspec(nx),
+        in_specs=[flag_spec,
+                  gspec(nx), gspec(nx), qspec(nx), qspec(nx),
                   gspec(nx + 1), gspec(nx + 1), qspec(nx + 1),
                   qspec(nx + 1),
                   mspecA, mspecB, tspecA, tspecB, hspecA, hspecB],
@@ -270,7 +301,7 @@ def integrals_tiled_both(geomN, geomE, mmE2, tmE2, hmE2, tracer_type,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
-    )(dnN, taN, qxN, qyN, dnE, taE, qxE, qyE,
+    )(flags, dnN, taN, qxN, qyN, dnE, taE, qxE, qyE,
       mmE2, mmE2, tmE2, tmE2, hmE2, hmE2)
     return (fn_mflx, fn_mtflx,
             fe_mflx[:, :ny], fe_mtflx[:, :, :ny])

@@ -90,6 +90,37 @@ def test_binary_roundtrip(tmp_path, kdyn):
             err_msg=f)
 
 
+def test_binary_roundtrip_restart_ext(tmp_path):
+    """restart_ext=true interchange: ghost-inclusive (ny+2, nx+2) records
+    (ice_read_write.F90:554 ice_read_ext / ice_write_ext, nghost=1) are
+    written with the real halo image as the ring and read back by
+    auto-detection from the record size; the interior round-trips
+    exactly and equals the non-ext read."""
+    m = _model()
+    st = _rich_state(m, seed=11)
+    core = str(tmp_path / "iced.1997-01-02-00000")
+    r5.write_restart_v5(st, core, m.cfg, m.tr, istep=24, time=86400.0,
+                        restart_ext=True, topo=m.topo)
+    # record payloads really are ghost-inclusive
+    ny, nx = m.grid.shape
+    from cice5_tpu.io.restart import _fseq_records
+    recs = _fseq_records(core)
+    next(recs)                                   # header
+    assert len(next(recs)) == (ny + 2) * (nx + 2) * 8
+    st2, meta = r5.read_restart_v5(core, m.cfg, m.tr)
+    assert "missing_files" not in meta
+    for f in CORE_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st2, f)), np.asarray(getattr(st, f)),
+            err_msg=f)
+    # edge-replicate fallback (no topology available) still round-trips
+    r5.write_restart_v5(st, core + ".norepl", m.cfg, m.tr, istep=24,
+                        time=86400.0, restart_ext=True)
+    st3, _ = r5.read_restart_v5(core + ".norepl", m.cfg, m.tr)
+    np.testing.assert_array_equal(np.asarray(st3.aicen),
+                                  np.asarray(st.aicen))
+
+
 def test_netcdf_roundtrip(tmp_path):
     m = _model()
     st = _rich_state(m, seed=5)
