@@ -208,26 +208,66 @@ def _read_bin_file(path, fields, ny, nx, ncat, sink):
     return dict(istep=istep, time=float(time), time_forc=float(time_forc))
 
 
-def _ghost_extend(arr, topo):
+# restart records whose tripole ghost row is built from a PARTNER field
+# (ice_HaloUpdate_stress pairs, ice_dyn_evp.F90:425-445 /
+# ice_dyn_eap.F90 write path: _1<->_3, _2<->_4 for each stress/structure
+# tensor component)
+_HALO_PARTNER = {f"{s}_{a}": f"{s}_{b}"
+                 for s in ("stressp", "stressm", "stress12", "a11", "a12")
+                 for a, b in ((1, 3), (3, 1), (2, 4), (4, 2))}
+
+
+def _halo_spec(vname):
+    """(FieldLoc, FieldType) a record's ghost ring carries in a reference
+    restart_ext dump — the loc/kind the reference's own restart driver
+    declares per field (ice_restart_driver.F90:257-400: uvel/vvel
+    NEcorner+vector, strocnxT/yT center+vector, everything else
+    center+scalar; stress/a11/a12 additionally keep the partner-swapped
+    tripole ghosts their last ice_HaloUpdate_stress left behind)."""
+    from cice5_tpu.constants import FieldLoc, FieldType
+    if vname in ("uvel", "vvel"):
+        return FieldLoc.NECORNER, FieldType.VECTOR
+    if vname in ("strocnxT", "strocnyT"):
+        return FieldLoc.CENTER, FieldType.VECTOR
+    return FieldLoc.CENTER, FieldType.SCALAR
+
+
+def _ghost_extend(arr, topo, vname=None, partner=None):
     """One ghost ring for restart_ext records (ice_write_ext,
-    ice_read_write.F90:700+). With a Topology the ring is the real halo
-    image (cyclic wrap / tripole fold / land closure via parallel.halo
-    — scalar center semantics, which is what dumpfile_ext uses for every
-    record); without one it falls back to edge replication (the ghosts
-    only seed the reading model's halo cells, which the first
-    ice_HaloUpdate-equivalent refreshes anyway)."""
+    ice_read_write.F90:700+). With a Topology the ring is the real
+    field-appropriate halo image (cyclic wrap / tripole fold / land
+    closure via parallel.halo, with per-record loc/kind from _halo_spec
+    and the stress corner-partner fold when ``partner`` is supplied);
+    without one it falls back to edge replication (the ghosts only seed
+    the reading model's halo cells, which the first
+    ice_HaloUpdate-equivalent refreshes anyway).  The interior is always
+    the caller's array verbatim — extend()'s degenerate-row
+    symmetrization (NEcorner on the U-fold, CENTER on tripoleT) must not
+    rewrite interior data in an export."""
     a = np.asarray(arr, np.float64)
     if topo is None:
         return np.pad(a, 1, mode="edge")
     from cice5_tpu.parallel import halo as halo_mod
-    return np.asarray(halo_mod.extend(jnp.asarray(a), topo))
+    loc, kind = _halo_spec(vname) if vname is not None else _halo_spec("")
+    kwargs = {}
+    if partner is not None and topo.ns == "tripole":
+        # partner fold only well-posed on non-degenerate staggerings;
+        # stress records are CENTER (non-degenerate on the U-fold). On
+        # tripoleT CENTER is ON the fold — fall back to the plain scalar
+        # ghost there (the consumer's first HaloUpdate_stress refreshes).
+        kwargs = dict(fold_partner=jnp.asarray(partner, np.float64),
+                      fold_sign=1.0)
+    ext = np.array(halo_mod.extend(jnp.asarray(a), topo, loc=loc,
+                                   kind=kind, **kwargs))
+    ext[1:-1, 1:-1] = a
+    return ext
 
 
 def _write_bin_file(path, fields, source, istep, time, time_forc,
                     restart_ext=False, topo=None):
-    def rec(f, arr):
+    def rec(f, arr, vname=None, partner=None):
         if restart_ext:
-            arr = _ghost_extend(arr, topo)
+            arr = _ghost_extend(arr, topo, vname=vname, partner=partner)
         payload = np.ascontiguousarray(
             np.asarray(arr, np.float64)).astype(">f8").tobytes()
         f.write(np.array([len(payload)], ">i4").tobytes())
@@ -242,11 +282,15 @@ def _write_bin_file(path, fields, source, istep, time, time_forc,
         f.write(np.array([len(head)], ">i4").tobytes())
         for vname, kind in fields:
             a = source(vname, kind)
+            partner = None
+            if restart_ext and vname in _HALO_PARTNER:
+                partner = source(_HALO_PARTNER[vname], kind)
             if kind == "cat":
                 for n in range(a.shape[0]):
-                    rec(f, a[n])
+                    rec(f, a[n], vname,
+                        None if partner is None else partner[n])
             else:
-                rec(f, a)
+                rec(f, a, vname, partner)
     return path
 
 

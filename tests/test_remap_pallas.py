@@ -24,6 +24,12 @@ def test_remap_batch_matches_vmap():
     f = lambda *s: jnp.asarray(rng.uniform(0, 1, s), jnp.float32)
     mm = f(ncat, ny, nx)
     tm = f(ncat, ntrace, ny, nx)
+    # force the kernel's block-skip branch (lit_blk == 0): category 0
+    # fully ice-free, and rows 0..13 of the last category zero so row
+    # block 0's whole two-block window (incl. the W=2 ring, zero on the
+    # open south boundary) holds no ice — mirrors test_dedd_pallas
+    mm = mm.at[0].set(0.0)
+    mm = mm.at[-1, :14].set(0.0)
     # one tracer of each dependency class, incl. a type-3 chain
     tracer_type = (1, 1, 1, 2, 3, 2)
     parent = (-1, -1, -1, 0, 3, 1)
@@ -39,6 +45,10 @@ def test_remap_batch_matches_vmap():
     for name, a, b in zip(("mm", "tm"), ref, out):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-5, err_msg=name)
+    # skipped blocks must write the SAME exact zeros as the XLA path
+    # (reconstruction of a zero mass field is exactly zero)
+    assert np.all(np.asarray(out[0])[0] == 0.0)
+    assert np.all(np.asarray(out[0])[-1, :6] == 0.0)
 
 
 def test_remap_batch_matches_vmap_tripole():
@@ -54,6 +64,10 @@ def test_remap_batch_matches_vmap_tripole():
     f = lambda *s: jnp.asarray(rng.uniform(0, 1, s), jnp.float32)
     mm = f(ncat, ny, nx)
     tm = f(ncat, ntrace, ny, nx)
+    # exercise the skip branch across the seam config too: ice-free
+    # category + an ice-free south band covering row block 0's window
+    mm = mm.at[0].set(0.0)
+    mm = mm.at[-1, :14].set(0.0)
     tracer_type = (1, 1, 2, 3)
     parent = (-1, -1, 0, 2)
     uvel = 0.2 * (f(ny, nx) - 0.5)
@@ -68,3 +82,5 @@ def test_remap_batch_matches_vmap_tripole():
     for name, a, b in zip(("mm", "tm"), ref, out):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-5, err_msg=name)
+    assert np.all(np.asarray(out[0])[0] == 0.0)
+    assert np.all(np.asarray(out[0])[-1, :6] == 0.0)

@@ -121,6 +121,52 @@ def test_binary_roundtrip_restart_ext(tmp_path):
                                   np.asarray(st.aicen))
 
 
+def test_restart_ext_tripole_field_semantics(tmp_path):
+    """restart_ext ghosts are FIELD-APPROPRIATE on a tripole grid: the
+    reference's restartfile_ext consumes ghost records verbatim with no
+    HaloUpdate, so uvel/vvel must export the negated NEcorner fold image
+    (ice_restart_driver.F90:296-298 field_loc_NEcorner/field_type_vector)
+    and stress ghosts the folded corner PARTNER (ice_HaloUpdate_stress
+    pairs, ice_dyn_evp.F90:425-445), with the interior rows written
+    verbatim (no degenerate-row symmetrization leaking into an export)."""
+    from cice5_tpu.constants import FieldLoc, FieldType
+    from cice5_tpu.parallel import Topology
+    from cice5_tpu.parallel import halo
+    m = _model()
+    topo = Topology(ew="cyclic", ns="tripole")
+    st = _rich_state(m, seed=13)
+    core = str(tmp_path / "iced.ext")
+    r5.write_restart_v5(st, core, m.cfg, m.tr, istep=0, time=0.0,
+                        restart_ext=True, topo=topo)
+    ny, nx = m.grid.shape
+    from cice5_tpu.io.restart import _fseq_records
+    recs = list(_fseq_records(core))[1:]
+    names = []
+    for vname, kind in r5._core_fields(m.cfg, m.tr, True):
+        names += [vname] * (m.cfg.ncat if kind == "cat" else 1)
+
+    def rec(vname):
+        a = np.frombuffer(recs[names.index(vname)], ">f8")
+        return a.reshape(ny + 2, nx + 2)
+
+    u = rec("uvel")
+    np.testing.assert_array_equal(u[1:-1, 1:-1], np.asarray(st.uvel))
+    expect = np.asarray(halo.extend(st.uvel, topo, loc=FieldLoc.NECORNER,
+                                    kind=FieldType.VECTOR))
+    np.testing.assert_array_equal(u[-1, 1:-1], expect[-1, 1:-1])
+    # and it IS the vector fold, not a scalar-center one
+    scal = np.asarray(halo.extend(st.uvel, topo))
+    assert not np.array_equal(u[-1, 1:-1], scal[-1, 1:-1])
+    sp1 = rec("stressp_1")
+    np.testing.assert_array_equal(sp1[1:-1, 1:-1],
+                                  np.asarray(st.stressp[0]))
+    exp_p = np.asarray(halo.extend(st.stressp[0], topo,
+                                   fold_partner=st.stressp[2]))
+    np.testing.assert_array_equal(sp1[-1, 1:-1], exp_p[-1, 1:-1])
+    assert not np.array_equal(
+        sp1[-1, 1:-1], np.asarray(halo.extend(st.stressp[0], topo))[-1, 1:-1])
+
+
 def test_netcdf_roundtrip(tmp_path):
     m = _model()
     st = _rich_state(m, seed=5)

@@ -9,8 +9,6 @@ import glob
 import os
 import sys
 
-import numpy as np
-
 
 def main():
     sys.path.insert(0, "/root/repo")
