@@ -59,14 +59,21 @@ _BGC_OCN = [("algalN", "N"), ("nit", "NO"), ("amm", "NH"),
             ("sil", "Sil"), ("dmsp", "DMSPp"), ("dms", "DMS")]
 
 
-def _core_fields(cfg, tr, oceanmixed):
-    """(vname, kind) in exact core-dump order; kind 'cat' or '2d'."""
+def _core_fields(cfg, tr, oceanmixed, coszen=False):
+    """(vname, kind) in exact core-dump order; kind 'cat' or '2d'.
+
+    coszen: CESM builds (#ifdef CCSMCOUPLED, ice_restart_driver.F90:128-130)
+    insert a coszen record between vvel and scale_factor; ACCESS/AusCOM
+    builds do not. read_restart_v5 auto-detects it from the record count."""
     out = [("aicen", "cat"), ("vicen", "cat"), ("vsnon", "cat"),
            ("Tsfcn", "cat")]
     out += [(f"sice{k + 1:03d}", "cat") for k in range(cfg.nilyr)]
     out += [(f"qice{k + 1:03d}", "cat") for k in range(cfg.nilyr)]
     out += [(f"qsno{k + 1:03d}", "cat") for k in range(cfg.nslyr)]
-    out += [("uvel", "2d"), ("vvel", "2d"), ("scale_factor", "2d"),
+    out += [("uvel", "2d"), ("vvel", "2d")]
+    if coszen:
+        out.append(("coszen", "2d"))
+    out += [("scale_factor", "2d"),
             ("swvdr", "2d"), ("swvdf", "2d"), ("swidr", "2d"),
             ("swidf", "2d"), ("strocnxT", "2d"), ("strocnyT", "2d")]
     for stem in ("stressp", "stressm", "stress12"):
@@ -160,8 +167,8 @@ def _slot_map(tr, cfg):
             m[v5] = ("trcrn", name2slot[nm])
     for v5, nm in _BGC_OCN:
         m.setdefault(v5, ("meta",))
-    for nm in ("swvdr", "swvdf", "swidr", "swidf", "fsnow", "dhs",
-               "ffrac"):
+    for nm in ("swvdr", "swvdf", "swidr", "swidf", "coszen", "fsnow",
+               "dhs", "ffrac"):
         m[nm] = ("meta",)
     return m
 
@@ -326,18 +333,45 @@ def _make_sink(cfg, tr, dtype):
     return sink, finish
 
 
+def _count_records(path: str) -> int:
+    """Number of Fortran sequential records in a file (marker walk, no
+    payload reads)."""
+    n = 0
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        off = 0
+        while off + 4 <= size:
+            ln = int(np.frombuffer(f.read(4), ">i4", 1)[0])
+            f.seek(ln + 4, 1)
+            off += 8 + ln
+            n += 1
+    return n
+
+
 def read_restart_v5(path: str, cfg, tr, *, oceanmixed: bool | None = None,
                     dtype=None, stem: str = "iced"):
     """Read a CICE 5 core dump + its supplemental tracer files (those that
     exist) into a State.  Returns (state, meta); meta carries istep/time/
     time_forc, the restart SW components, and any fields this framework
-    derives per step."""
+    derives per step.
+
+    The two build-dependent record sets — oceanmixed_ice's sst/frzmlt
+    tail (ice_restart_driver.F90:179-182) and CCSMCOUPLED's coszen
+    (:128-130) — are auto-detected from the file's record count (they
+    add 2 resp. 1 records, so every combination is unambiguous); an
+    explicit ``oceanmixed`` argument overrides the detection."""
     ny, nx = cfg.grid.ny, cfg.grid.nx
     dt_ = dtype or cfg.xp_dtype
+    base = 1 + sum(cfg.ncat if k == "cat" else 1 for _, k in
+                   _core_fields(cfg, tr, False, coszen=False))
+    nrec = _count_records(path)
+    coszen = (nrec - base) in (1, 3)
+    det_oceanmixed = (nrec - base) >= 2
     if oceanmixed is None:
-        oceanmixed = cfg.forcing.oceanmixed_ice
+        oceanmixed = det_oceanmixed
     sink, finish = _make_sink(cfg, tr, dt_)
-    meta = _read_bin_file(path, _core_fields(cfg, tr, oceanmixed),
+    meta = _read_bin_file(path,
+                          _core_fields(cfg, tr, oceanmixed, coszen=coszen),
                           ny, nx, cfg.ncat, sink)
     for suffix, fields in _tracer_files(cfg, tr):
         tp = tracer_path(path, suffix, stem)
@@ -356,7 +390,7 @@ def write_restart_v5(state: State, path: str, cfg, tr, *, istep: int,
                      oceanmixed: bool | None = None,
                      extras: dict | None = None,
                      stem: str = "iced", restart_ext: bool = False,
-                     topo=None) -> list[str]:
+                     topo=None, coszen: bool = False) -> list[str]:
     """Write a CICE 5 core dump + supplemental tracer files from a State
     (the dumpfile twin of read_restart_v5; hands state back to an actual
     CICE 5.1.2 run). extras may supply swvdr/swvdf/swidr/swidf etc.;
@@ -391,9 +425,9 @@ def write_restart_v5(state: State, path: str, cfg, tr, *, istep: int,
 
     paths = [path]
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    _write_bin_file(path, _core_fields(cfg, tr, oceanmixed), source,
-                    istep, time, time_forc, restart_ext=restart_ext,
-                    topo=topo)
+    _write_bin_file(path, _core_fields(cfg, tr, oceanmixed, coszen=coszen),
+                    source, istep, time, time_forc,
+                    restart_ext=restart_ext, topo=topo)
     for suffix, fields in _tracer_files(cfg, tr):
         tp = tracer_path(path, suffix, stem)
         _write_bin_file(tp, fields, source, istep, time, time_forc,
@@ -433,6 +467,10 @@ def read_restart_v5_nc(path: str, cfg, tr, *,
                 sink(vname, a)
             else:
                 meta.setdefault("missing_vars", []).append(vname)
+        # CCSMCOUPLED builds carry coszen (ice_restart_driver.F90:128);
+        # name-addressed here, so just pick it up when present
+        if "coszen" in f.variables:
+            sink("coszen", np.array(f.variables["coszen"][:]))
     state, extra = finish()
     meta.update(extra)
     return state, meta

@@ -121,6 +121,31 @@ def test_binary_roundtrip_restart_ext(tmp_path):
                                   np.asarray(st.aicen))
 
 
+@pytest.mark.parametrize("coszen,om", [(True, True), (True, False),
+                                       (False, False)])
+def test_coszen_and_oceanmixed_autodetect(tmp_path, coszen, om):
+    """CESM builds (#ifdef CCSMCOUPLED) insert a coszen record between
+    vvel and scale_factor (ice_restart_driver.F90:128-130) and
+    oceanmixed_ice appends sst/frzmlt (:179-182); the reader detects
+    both build variants from the record count."""
+    m = _model()
+    st = _rich_state(m, seed=5)
+    core = str(tmp_path / "iced.cz")
+    r5.write_restart_v5(st, core, m.cfg, m.tr, istep=7, time=3600.0,
+                        coszen=coszen, oceanmixed=om,
+                        extras={"coszen": np.full(m.grid.shape, 0.3)})
+    st2, meta = r5.read_restart_v5(core, m.cfg, m.tr)
+    for f in ("aicen", "trcrn", "uvel", "stressp", "iceumask"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st2, f)), np.asarray(getattr(st, f)),
+            err_msg=f)
+    if om:
+        np.testing.assert_array_equal(np.asarray(st2.sst),
+                                      np.asarray(st.sst))
+    if coszen:
+        np.testing.assert_array_equal(meta["coszen"], 0.3)
+
+
 def test_restart_ext_tripole_field_semantics(tmp_path):
     """restart_ext ghosts are FIELD-APPROPRIATE on a tripole grid: the
     reference's restartfile_ext consumes ghost records verbatim with no
