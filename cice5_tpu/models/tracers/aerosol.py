@@ -206,8 +206,10 @@ def update_aerosol(dt, meltt, melts, meltb, congel, snoice, fsnow,
     hs_dep = jnp.where(aicen > 0.0, vsnon * ar, 0.0)
     dep = faero_atm * (dt * aicen)[None] * sm[None]
     to_snow = (hs_dep > ct.hs_min)[None]
-    aerosno = aerosno.at[:, 0].add(jnp.where(to_snow, dep, 0.0))
-    aeroice = aeroice.at[:, 0].add(jnp.where(to_snow, 0.0, dep))
+    aerosno = jnp.stack([aerosno[:, 0] + jnp.where(to_snow, dep, 0.0),
+                         aerosno[:, 1]], axis=1)
+    aeroice = jnp.stack([aeroice[:, 0] + jnp.where(to_snow, 0.0, dep),
+                         aeroice[:, 1]], axis=1)
 
     # --- re-grid to the new SSL/interior split (ice_aerosol.F90:473-548) ---
     hs_new = jnp.where(aicen > 0.0, vsnon * ar, 0.0)
@@ -224,7 +226,9 @@ def update_aerosol(dt, meltt, melts, meltb, congel, snoice, fsnow,
         jnp.stack([aeroice[:, 0] + aerosno[:, 1], aeroice[:, 1]], axis=1),
         aeroice)
     aerosno = jnp.where(e2[None, None],
-                        aerosno.at[:, 1].set(0.0), aerosno)
+                        jnp.stack([aerosno[:, 0],
+                                   jnp.zeros_like(aerosno[:, 1])], axis=1),
+                        aerosno)
     e3 = active & (dzssli <= ct.puny)
     aeroice = jnp.where(
         e3[None, None],
@@ -254,7 +258,8 @@ def update_aerosol(dt, meltt, melts, meltb, congel, snoice, fsnow,
     no_snow = active & ~(hs_new > ct.hs_min)
     aeroice = jnp.where(
         no_snow[None, None],
-        aeroice.at[:, 0].add(aerosno[:, 0] + aerosno[:, 1]), aeroice)
+        jnp.stack([aeroice[:, 0] + aerosno[:, 0] + aerosno[:, 1],
+                   aeroice[:, 1]], axis=1), aeroice)
     aerosno = jnp.where(no_snow[None, None], 0.0, aerosno)
 
     # ice: move mass across the new SSL boundary
